@@ -1,0 +1,146 @@
+"""CLIP + DiST video model assembly.
+
+Functional rebuild of the reference's ``CLIP`` wrapper with an embedded
+``DiSTNetwork`` (``models/base/clip.py:303-533``) and the
+``ClipVisionTextTransformer`` meta-arch (``models/base/backbone.py:218-257``).
+
+Differences by design:
+
+- **Text caching is explicit dataflow.** The reference memoizes label-text
+  features on the module (``cache_text``, clip.py:437-452). Here the task
+  loop calls :meth:`CLIPDiSTModel.encode_text` once (its own jit) and passes
+  the resulting ``(num_classes, embed_dim)`` array into every step — no
+  hidden state, checkpoint-friendly, and jit-stable.
+- **Freezing is stop_gradient, not no_grad.** With the tower output wrapped
+  in ``jax.lax.stop_gradient``, XLA prunes the tower's entire backward
+  graph; the reference needed ``torch.no_grad`` plus DDP
+  ``find_unused_parameters=True`` (models/base/builder.py:73).
+- Video layout is (B, T, H, W, 3) channels-last throughout.
+"""
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dist_tpu.models.clip.model import (
+    ARCHITECTURES,
+    CLIPArchitecture,
+    TextTransformer,
+    VisionTransformer,
+)
+from dist_tpu.models.dist.dist_net import DiSTConfig, DiSTNetwork
+
+
+class CLIPDiSTModel(nn.Module):
+    """CLIP towers + (optionally) the DiST side network.
+
+    __call__(video, text_features) -> dict with:
+      logits_per_image (B, 1, num_classes) — cosine-sim classifier over the
+        cached label-text features, scaled by exp(logit_scale)
+        (clip.py:509-527), reshaped with the view axis the head means over
+        (backbone.py:236-241);
+      vid_logits (B, 1, embed_dim) — the video embedding.
+    """
+
+    arch: CLIPArchitecture
+    dist: Optional[DiSTConfig] = None
+    num_frames: int = 16
+    sparse_alpha: int = 1
+    freeze_visual: bool = True
+    freeze_text: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.visual = VisionTransformer(
+            arch=self.arch, num_frames=self.num_frames,
+            sparse_alpha=self.sparse_alpha, dtype=self.dtype, name="visual",
+        )
+        self.text = TextTransformer(arch=self.arch, dtype=self.dtype, name="text")
+        if self.dist is not None:
+            self.dist_net = DiSTNetwork(
+                cfg=self.dist, d_model=self.arch.vision_width,
+                output_dim=self.arch.embed_dim, dtype=self.dtype,
+                name="dist_net",
+            )
+        self.logit_scale = self.param(
+            "logit_scale",
+            lambda key, shape: jnp.full(shape, jnp.log(1.0 / 0.07)), (),
+        )
+
+    def init_all(self, video, tokens):
+        """Init-time tracing path: touches both towers (+ DiST) so a single
+        ``module.init`` creates every parameter."""
+        out = self.__call__(video, None)
+        tf = self.encode_text(tokens)
+        return out, tf
+
+    def encode_text(self, tokens):
+        """Label-prompt features (num_classes, embed_dim); run once and cache
+        host-side (the functional analog of clip.py:437-452)."""
+        feats, _ = self.text(tokens)
+        if self.freeze_text:
+            feats = jax.lax.stop_gradient(feats)
+        return feats
+
+    def encode_video(self, video):
+        """video (B, T, H, W, 3) -> per-video embedding (B, embed_dim)."""
+        cls_x, x_logits, taps = self.visual(
+            video, collect_taps=self.dist is not None
+        )
+        if self.freeze_visual:
+            cls_x = jax.lax.stop_gradient(cls_x)
+            x_logits = jax.lax.stop_gradient(x_logits)
+            if taps is not None:
+                taps = jax.lax.stop_gradient(taps)
+        if self.dist is None:
+            # plain CLIP video path: mean over frames of the cls embedding
+            t = self.num_frames // self.sparse_alpha
+            return cls_x.reshape(-1, t, cls_x.shape[-1]).mean(axis=1), cls_x
+        sel = jnp.asarray(self.dist.selected_layers)
+        video_emb = self.dist_net(video, taps[sel])
+        return video_emb, cls_x
+
+    def __call__(self, video, text_features=None):
+        video_emb, frame_cls = self.encode_video(video)
+        if text_features is None:
+            return {"vid_logits": video_emb[:, None, :],
+                    "img_logits": frame_cls,
+                    "logits_per_image": None}
+        v = video_emb / jnp.linalg.norm(
+            video_emb.astype(jnp.float32), axis=-1, keepdims=True)
+        tf = text_features.astype(jnp.float32)
+        tf = tf / jnp.linalg.norm(tf, axis=-1, keepdims=True)
+        logit_scale = jnp.exp(self.logit_scale.astype(jnp.float32))
+        logits_per_image = logit_scale * v @ tf.T
+        return {
+            "logits_per_image": logits_per_image[:, None, :],
+            "vid_logits": video_emb[:, None, :],
+            "img_logits": frame_cls,
+        }
+
+
+def clip_dist_from_cfg(cfg, arch: Optional[CLIPArchitecture] = None):
+    """Build the model definition from a global Config (+ optional sniffed
+    architecture; falls back to the named preset META_ARCH_NAME)."""
+    if arch is None:
+        name = cfg.VIDEO.BACKBONE.META_ARCH_NAME
+        assert name in ARCHITECTURES, (
+            f"unknown CLIP architecture {name!r}; provide a checkpoint to "
+            f"sniff from or one of {sorted(ARCHITECTURES)}")
+        arch = ARCHITECTURES[name]
+    use_bf16 = bool(cfg.TRAIN.get("MIXED_PRECISION", False)
+                    or cfg.TRAIN.get("HALF_PRECISION", False))
+    dist = None
+    if cfg.VIDEO.BACKBONE.get("DIST") and cfg.VIDEO.BACKBONE.DIST.ENABLE:
+        dist = DiSTConfig.from_cfg(cfg)
+    return CLIPDiSTModel(
+        arch=arch,
+        dist=dist,
+        num_frames=cfg.DATA.NUM_INPUT_FRAMES,
+        sparse_alpha=int(cfg.DATA.get("SPARSE_SAMPLE_ALPHA", 1)),
+        freeze_visual=bool(cfg.VIDEO.BACKBONE.get("FREEZE_VISUAL", False)),
+        freeze_text=bool(cfg.VIDEO.BACKBONE.get("FREEZE_TEXT", False)),
+        dtype=jnp.bfloat16 if use_bf16 else jnp.float32,
+    )

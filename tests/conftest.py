@@ -4,12 +4,19 @@ backend; see SURVEY.md section 4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU even when the env points at a TPU tunnel (JAX_PLATFORMS=axon);
+# the axon site hook overrides the env var, so use jax.config as well.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
 
 import pytest  # noqa: E402
 
