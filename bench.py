@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Benchmark: DiST CLIP ViT-B/16 8-frame inference throughput (clips/sec/chip).
+
+The BASELINE.json north-star metric: multi-view eval throughput of the
+flagship config on one chip. Prints ONE JSON line:
+  {"metric": "clips_per_sec_per_chip", "value": N, "unit": "clips/s", "vs_baseline": N}
+
+``vs_baseline``: the reference never published throughput (SURVEY.md
+section 6); we normalize against a fixed reference budget of 32 clips/s/chip
+(8xV100 wall-clock-equivalent share for ViT-B/16 8f eval) so the number is
+comparable across rounds.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_CLIPS_PER_SEC = 32.0
+
+# benchmark knobs (overridable via env for experimentation)
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+ITERS = int(os.environ.get("BENCH_ITERS", "20"))
+WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dist_tpu.config import load_config
+    from dist_tpu.models.base.models import build_model
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    cfg = load_config(
+        os.path.join(repo, "configs/projects/dist/ssv2/vit-b16-8+16f.yaml"),
+        opts=["TRAIN.BATCH_SIZE", str(BATCH)], make_output_dir=False)
+
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    video_u8 = jax.random.randint(
+        rng, (BATCH, 16, 224, 224, 3), 0, 255, jnp.int32).astype(jnp.uint8)
+    variables = model.init(rng, {"video": video_u8.astype(jnp.float32)})
+    text_features = jax.random.normal(rng, (174, 512), jnp.float32)
+
+    from dist_tpu.tasks.state import _prep_video
+
+    @jax.jit
+    def forward(variables, video, text_features):
+        preds, _ = model.apply(
+            variables,
+            {"video": _prep_video(cfg, video), "text_features": text_features},
+            train=False)
+        return preds
+
+    out = forward(variables, video_u8, text_features)
+    jax.block_until_ready(out)
+    for _ in range(WARMUP):
+        jax.block_until_ready(forward(variables, video_u8, text_features))
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = forward(variables, video_u8, text_features)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    clips_per_sec = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "clips_per_sec_per_chip",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(clips_per_sec / REFERENCE_CLIPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,237 @@
+"""Base video dataset (reference dataset/base/base_dataset.py).
+
+Host-side dataset: annotation parsing, clip-seek video decode (OpenCV —
+the environment's native decoder; the reference used decord), temporal
+sampling, spatial crop, SSV2 flip label remap, decode-retry with neighbor
+fallback. ``__getitem__`` returns numpy, shaped for the device pipeline:
+
+    {"video": uint8 (T, S, S, 3), "label": int64, "index": int64}
+
+Test splits replicate each video ``NUM_ENSEMBLE_VIEWS x NUM_SPATIAL_CROPS``
+times; ``index -> (clip_idx, spatial_idx)`` follows
+base_dataset.py:61,271-282 so the TestMeter can regroup views by
+``index // num_clips``.
+"""
+
+import abc
+import json
+import os
+
+import numpy as np
+
+from dist_tpu.data import sampling, transforms
+from dist_tpu.utils import logging
+from dist_tpu.utils.registry import Registry
+
+logger = logging.get_logger(__name__)
+
+DATASET_REGISTRY = Registry("Dataset")
+
+# SSV2 directional classes swapped under horizontal flip
+# (base_dataset.py:416-431)
+SSV2_FLIP_LABEL_MAP = {86: 87, 87: 86, 93: 94, 94: 93, 166: 167, 167: 166}
+
+
+def read_video_cv2(path, frame_indices):
+    """Decode the given frame indices with OpenCV; returns (T,H,W,3) RGB
+    uint8. Sequential scan (cheap for the densely-sampled clips we use)."""
+    import cv2
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise IOError(f"cannot open video {path}")
+    wanted = {}
+    max_idx = int(max(frame_indices))
+    order = np.asarray(frame_indices)
+    need = set(int(i) for i in order)
+    i = 0
+    while i <= max_idx:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if i in need:
+            wanted[i] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        i += 1
+    cap.release()
+    if not wanted:
+        raise IOError(f"no frames decoded from {path}")
+    last = wanted[max(wanted)]
+    return np.stack([wanted.get(int(j), last) for j in order])
+
+
+def probe_video_cv2(path):
+    """(num_frames, fps)."""
+    import cv2
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise IOError(f"cannot open video {path}")
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    cap.release()
+    return n, fps
+
+
+class BaseVideoDataset(abc.ABC):
+    def __init__(self, cfg, split):
+        self.cfg = cfg
+        self.split = split
+        self.data_root_dir = cfg.DATA.DATA_ROOT_DIR
+        self.anno_dir = cfg.DATA.ANNO_DIR
+
+        if split in ("train", "val"):
+            self.dataset_name = cfg.TRAIN.DATASET
+            self._num_clips = 1
+        elif split in ("test", "submission"):
+            self.dataset_name = cfg.TEST.DATASET
+            self._num_clips = (cfg.TEST.NUM_ENSEMBLE_VIEWS
+                               * cfg.TEST.NUM_SPATIAL_CROPS)
+        else:
+            raise NotImplementedError(f"Split {split} not supported")
+
+        self._num_frames = cfg.DATA.NUM_INPUT_FRAMES
+        self._sampling_rate = cfg.DATA.SAMPLING_RATE
+        self._construct_dataset(cfg)
+
+        self.text_tokens = None
+        if cfg.DATA.DATASET_LABEL_TEXT.ENABLE:
+            self._load_dataset_labels(cfg)
+
+    # ---- to be provided by subclasses ----
+    @abc.abstractmethod
+    def _get_dataset_list_name(self):
+        ...
+
+    @abc.abstractmethod
+    def _get_sample_info(self, index):
+        ...
+
+    def _construct_dataset(self, cfg):
+        """Parse the annotation list (csv/json/txt;
+        base_dataset.py:187-229). Test samples are replicated per view."""
+        name = self._get_dataset_list_name()
+        path = os.path.join(self.anno_dir, name)
+        self._samples = []
+        self._spatial_temporal_index = []
+        if path.endswith(".json"):
+            with open(path) as f:
+                samples = json.load(f)
+        else:
+            with open(path) as f:
+                samples = [line.strip() for line in f if line.strip()]
+        limit = int(self.cfg.TEST.get("NUM_SAMPLES_LIMIT", -1)
+                    if self.split in ("test", "submission")
+                    else self.cfg.TRAIN.get("NUM_SAMPLES_LIMIT", -1))
+        if limit > 0:
+            samples = samples[:limit]
+        for sample in samples:
+            for idx in range(self._num_clips):
+                self._samples.append(sample)
+                self._spatial_temporal_index.append(idx)
+        assert len(self._samples) != 0, f"Loading at {path} failed."
+        logger.info("Dataset %s split %s: %d samples.",
+                    self.dataset_name, self.split, len(self._samples))
+
+    def _load_dataset_labels(self, cfg):
+        """labels.json -> CLIP BPE tokens (C, 77)
+        (base_dataset.py:92-108)."""
+        from dist_tpu.data.tokenizer import tokenize
+        with open(os.path.join(self.anno_dir, "labels.json")) as f:
+            lines = json.load(f)
+        prompt = (cfg.DATA.DATASET_LABEL_TEXT.get("PROMPT_PREFIX", "")
+                  or cfg.DATA.DATASET_LABEL_TEXT.get("PROMPT", "") or "").strip()
+        labels2text = {}
+        for text, idx in lines.items():
+            text = text.replace('"', "").strip()
+            if prompt:
+                text = prompt + " " + text
+            labels2text[int(idx)] = text
+        texts = [labels2text[i] for i in range(len(labels2text))]
+        self.text_tokens = tokenize(texts)
+
+    def __len__(self):
+        return len(self._samples)
+
+    # ---- decode ----
+    def _decode_video(self, sample_info, index, rng):
+        clip_idx, spatial_idx = self._view_indices(index)
+        num_frames, fps = probe_video_cv2(sample_info["path"])
+        indices = sampling.get_frame_indices(
+            self.cfg, num_frames, fps, clip_idx,
+            self.cfg.TEST.NUM_ENSEMBLE_VIEWS, rng=rng,
+            random_sample=(self.split == "train"))
+        frames = read_video_cv2(sample_info["path"], indices)
+        return frames, spatial_idx
+
+    def _view_indices(self, index):
+        """index -> (clip_idx, spatial_idx) (base_dataset.py:271-282)."""
+        if self.split == "train":
+            return -1, -1
+        if self.split == "val":
+            return -1, 0
+        st = self._spatial_temporal_index[index]
+        clip_idx = st // self.cfg.TEST.NUM_SPATIAL_CROPS
+        if self.cfg.TEST.NUM_SPATIAL_CROPS == 1:
+            spatial_idx = 0
+        else:
+            spatial_idx = st % self.cfg.TEST.NUM_SPATIAL_CROPS
+        return clip_idx, spatial_idx
+
+    # ---- spatial transform ----
+    def _transform(self, frames, spatial_idx, rng):
+        cfg = self.cfg
+        if self.split == "train":
+            scales = cfg.DATA.TRAIN_JITTER_SCALES
+            if scales[0] <= 1:
+                frames = transforms.random_resized_crop(
+                    frames, cfg.DATA.TRAIN_CROP_SIZE,
+                    scale=scales, ratio=cfg.AUGMENTATION.RATIO, rng=rng)
+            else:
+                frames = transforms.kinetics_resized_crop_random(
+                    frames, scales, cfg.DATA.TRAIN_CROP_SIZE, rng=rng)
+            if cfg.AUGMENTATION.COLOR_AUG:
+                frames = transforms.color_jitter_clip(
+                    frames, rng,
+                    brightness=cfg.AUGMENTATION.BRIGHTNESS,
+                    contrast=cfg.AUGMENTATION.CONTRAST,
+                    saturation=cfg.AUGMENTATION.SATURATION,
+                    hue=cfg.AUGMENTATION.HUE,
+                    grayscale=cfg.AUGMENTATION.GRAYSCALE,
+                    p=float(cfg.AUGMENTATION.get("COLOR_JITTER_P", 1.0) or 0.0))
+        else:
+            frames = transforms.kinetics_resized_crop_controlled(
+                frames, cfg.DATA.TEST_SCALE, cfg.DATA.TEST_CROP_SIZE,
+                cfg.TEST.NUM_SPATIAL_CROPS
+                if self.split in ("test", "submission") else 1,
+                spatial_idx)
+        return frames
+
+    def __getitem__(self, index):
+        """Decode-with-retry, transform, flip (+SSV2 label remap)
+        (base_dataset.py:355-441)."""
+        base = hash((int(self.cfg.RANDOM_SEED), self.split, int(index)))
+        if self.split == "train":
+            base += int(np.random.default_rng().integers(1 << 30))
+        rng = np.random.default_rng(base & 0x7FFFFFFF)
+        for retry in range(2 if self.split == "train" else 10):
+            try:
+                sample_info = self._get_sample_info(index)
+                frames, spatial_idx = self._decode_video(sample_info, index, rng)
+                break
+            except Exception as e:  # neighbor fallback (base_dataset.py:388)
+                logger.warning("decode failed for %d (%s); retry", index, e)
+                index = (index + 1) % len(self._samples)
+        else:
+            raise IOError(f"decode failed after retries at index {index}")
+
+        frames = self._transform(frames, spatial_idx, rng)
+        label = int(sample_info["supervised_label"])
+
+        if (self.split == "train" and self.cfg.AUGMENTATION.get("SSV2_FLIP")
+                and rng.uniform() < 0.5):
+            frames = transforms.horizontal_flip(frames)
+            label = SSV2_FLIP_LABEL_MAP.get(label, label)
+
+        return {
+            "video": np.ascontiguousarray(frames),
+            "label": np.int64(label),
+            "index": np.int64(index),
+        }

@@ -1,0 +1,169 @@
+"""Loader builder: dataset -> batched, prefetched numpy iterator.
+
+Replaces the reference's torch DataLoader + DistributedSampler stack
+(``dataset/base/builder.py:46-123``, ``utils/sampler.py``):
+
+- deterministic per-host index sharding (each JAX process reads its own
+  contiguous shard of the shuffled index stream — the input-pipeline analog
+  of ``DistributedSampler``),
+- the MultiFold semantics (``MultiFoldDistributedSampler``,
+  utils/sampler.py:90-180): a "fold epoch" concatenates ``NUM_FOLDS``
+  independently shuffled epochs so checkpoint/eval cadence matches
+  large-batch schedules,
+- a thread-pool decode + bounded prefetch queue (DataLoader workers ->
+  threads; video decode releases the GIL inside OpenCV).
+"""
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from dist_tpu.data.base_dataset import DATASET_REGISTRY
+from dist_tpu.utils import logging
+
+logger = logging.get_logger(__name__)
+
+
+def build_dataset(cfg, split):
+    name = (cfg.TRAIN.DATASET if split in ("train", "val") else cfg.TEST.DATASET)
+    if cfg.DATA.get("SYNTHETIC", False):
+        name = "synthetic"
+    cls = DATASET_REGISTRY.get_strict(str(name).capitalize())
+    return cls(cfg, split)
+
+
+class Loader:
+    """Batched iterator with per-epoch shuffling and threaded prefetch."""
+
+    def __init__(self, dataset, batch_size, shuffle, drop_last, num_workers,
+                 seed=0, num_folds=1, process_index=0, process_count=1,
+                 prefetch=2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, int(num_workers))
+        self.seed = seed
+        self.num_folds = num_folds
+        self.process_index = process_index
+        self.process_count = process_count
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch):
+        """(reference shuffle_dataset / sampler.set_epoch)"""
+        self.epoch = epoch
+
+    def _epoch_indices(self):
+        """Global shuffled stream for this (fold-)epoch, host-sharded."""
+        n = len(self.dataset)
+        chunks = []
+        for fold in range(self.num_folds):
+            idx = np.arange(n)
+            if self.shuffle:
+                rng = np.random.default_rng(
+                    (self.seed, self.epoch, fold).__hash__() & 0x7FFFFFFF)
+                rng.shuffle(idx)
+            chunks.append(idx)
+        idx = np.concatenate(chunks)
+        # pad so every host sees the same number of samples
+        per_host = int(np.ceil(len(idx) / self.process_count))
+        pad = per_host * self.process_count - len(idx)
+        if pad:
+            idx = np.concatenate([idx, idx[:pad]])
+        return idx[self.process_index::self.process_count]
+
+    def __len__(self):
+        n = len(self._epoch_indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return int(np.ceil(n / self.batch_size))
+
+    def __iter__(self):
+        indices = self._epoch_indices()
+        batches = []
+        for s in range(0, len(indices), self.batch_size):
+            chunk = indices[s:s + self.batch_size]
+            if len(chunk) < self.batch_size:
+                if self.drop_last:
+                    continue
+                # pad the final batch by wrapping (static shapes for jit);
+                # TestMeter dedups by clip id, train drops last anyway
+                chunk = np.concatenate(
+                    [chunk, indices[:self.batch_size - len(chunk)]])
+            batches.append(chunk)
+
+        q = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for chunk in batches:
+                        if stop.is_set():
+                            break
+                        samples = list(pool.map(self.dataset.__getitem__, chunk))
+                        batch = {
+                            k: np.stack([s[k] for s in samples])
+                            for k in samples[0]
+                        }
+                        q.put(batch)
+                q.put(None)
+            except BaseException as e:  # surface worker failures to the consumer
+                q.put(e)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                if isinstance(batch, BaseException):
+                    raise batch
+                yield batch
+        finally:
+            stop.set()
+
+
+def data_axis_size(cfg):
+    """Devices on the data axis (global batch = per-device batch x this).
+    The reference's BATCH_SIZE is per-GPU (dataset/base/builder.py); here it
+    is per-data-shard, so the loader scales it to the mesh."""
+    import jax
+
+    model = 1
+    if cfg.get("TPU") and cfg.TPU.get("MESH"):
+        model = int(cfg.TPU.MESH.get("MODEL", 1) or 1)
+    return max(jax.device_count() // model, 1)
+
+
+def build_loader(cfg, split):
+    """(reference dataset/base/builder.py:46-93)"""
+    import jax
+
+    dataset = build_dataset(cfg, split)
+    scale = data_axis_size(cfg) // jax.process_count()
+    if split == "train":
+        batch_size = int(cfg.TRAIN.BATCH_SIZE) * scale
+        shuffle, drop_last = True, True
+        num_folds = int(cfg.TRAIN.get("NUM_FOLDS", 1))
+    elif split == "val":
+        batch_size = int(cfg.TRAIN.BATCH_SIZE) * scale
+        shuffle, drop_last, num_folds = False, False, 1
+    else:
+        batch_size = int(cfg.TEST.BATCH_SIZE) * scale
+        shuffle, drop_last, num_folds = False, False, 1
+    return Loader(
+        dataset, batch_size, shuffle, drop_last,
+        num_workers=cfg.DATA_LOADER.NUM_WORKERS,
+        seed=int(cfg.RANDOM_SEED), num_folds=num_folds,
+        process_index=jax.process_index(), process_count=jax.process_count(),
+        prefetch=int(cfg.DATA_LOADER.get("PREFETCH", 2)),
+    )
+
+
+def shuffle_dataset(loader, cur_epoch):
+    loader.set_epoch(cur_epoch)

@@ -1,0 +1,139 @@
+"""Host-side spatial transforms (numpy/cv2) + device-side normalization.
+
+Rebuilds the spatial path of the reference's transforms
+(``dataset/utils/transformations.py``): short-side resize + random /
+controlled crop (``KineticsResizedCrop``, transformations.py:415-497),
+torchvision-style random-resized-crop, horizontal flip, color jitter.
+
+Split of labor (TPU-first): decode + resize/crop run on host CPU in uint8
+(cheap, keeps the host->device transfer at 1 byte/px); the
+float-convert + mean/std normalization (+ flips under
+``AUGMENTATION.USE_GPU``) runs inside the jitted step on device
+(:func:`normalize_device`), mirroring the reference's GPU-transform mode
+(``dataset/base/base_dataset.py:68,390-392``).
+"""
+
+import cv2
+import numpy as np
+
+import jax.numpy as jnp
+
+
+# --------------------------------------------------------------------------
+# host side (numpy, uint8 THWC)
+
+
+def resize_short_side(frames, length):
+    """Bilinear resize so the short side == length. frames (T,H,W,C) uint8."""
+    t, h, w, c = frames.shape
+    if h < w:
+        nh, nw = int(length), int(w / h * int(length))
+    else:
+        nw, nh = int(length), int(h / w * int(length))
+    if (nh, nw) == (h, w):
+        return frames
+    out = np.empty((t, nh, nw, c), frames.dtype)
+    for i in range(t):
+        out[i] = cv2.resize(frames[i], (nw, nh), interpolation=cv2.INTER_LINEAR)
+    return out
+
+
+def kinetics_resized_crop_random(frames, short_side_range, crop_size, rng):
+    """Train path of KineticsResizedCrop (transformations.py:469-488)."""
+    side = int(rng.uniform(short_side_range[0], short_side_range[1]))
+    frames = resize_short_side(frames, side)
+    _, h, w, _ = frames.shape
+    y = int(rng.uniform(0, max(h - crop_size, 0) + 1e-9))
+    x = int(rng.uniform(0, max(w - crop_size, 0) + 1e-9))
+    return frames[:, y:y + crop_size, x:x + crop_size]
+
+
+def kinetics_resized_crop_controlled(frames, test_scale, crop_size,
+                                     num_spatial_crops, spatial_idx):
+    """Test path (transformations.py:427-467): resize short side to
+    test_scale; 1 crop = center, 3 crops = start/center/end along the long
+    side."""
+    frames = resize_short_side(frames, test_scale)
+    _, h, w, _ = frames.shape
+    x_max, y_max = w - crop_size, h - crop_size
+    if num_spatial_crops == 1:
+        x, y = x_max // 2, y_max // 2
+    elif num_spatial_crops == 3:
+        short_is_w = w == test_scale
+        if spatial_idx == 0:
+            x, y = (x_max // 2, 0) if short_is_w else (0, y_max // 2)
+        elif spatial_idx == 1:
+            x, y = x_max // 2, y_max // 2
+        else:
+            x, y = (x_max // 2, y_max) if short_is_w else (x_max, y_max // 2)
+    else:
+        raise NotImplementedError(num_spatial_crops)
+    return frames[:, y:y + crop_size, x:x + crop_size]
+
+
+def random_resized_crop(frames, crop_size, scale, ratio, rng):
+    """torchvision RandomResizedCrop semantics over a clip: one crop window
+    shared by all frames (per-frame-consistent, like ToTensorVideo pipelines)."""
+    t, h, w, c = frames.shape
+    area = h * w
+    for _ in range(10):
+        target_area = rng.uniform(scale[0], scale[1]) * area
+        log_ratio = (np.log(ratio[0]), np.log(ratio[1]))
+        aspect = np.exp(rng.uniform(*log_ratio))
+        cw = int(round(np.sqrt(target_area * aspect)))
+        ch = int(round(np.sqrt(target_area / aspect)))
+        if 0 < cw <= w and 0 < ch <= h:
+            y = int(rng.integers(0, h - ch + 1))
+            x = int(rng.integers(0, w - cw + 1))
+            crop = frames[:, y:y + ch, x:x + cw]
+            break
+    else:
+        # center fallback
+        side = min(h, w)
+        y, x = (h - side) // 2, (w - side) // 2
+        crop = frames[:, y:y + side, x:x + side]
+    out = np.empty((t, crop_size, crop_size, c), frames.dtype)
+    for i in range(t):
+        out[i] = cv2.resize(crop[i], (crop_size, crop_size),
+                            interpolation=cv2.INTER_LINEAR)
+    return out
+
+
+def horizontal_flip(frames):
+    return frames[:, :, ::-1]
+
+
+def color_jitter_clip(frames, rng, brightness=0, contrast=0, saturation=0,
+                      hue=0, grayscale=0, consistent=True, p=1.0):
+    """Clip-consistent color jitter on uint8 (T,H,W,C) frames
+    (reference ColorJitter, transformations.py:36-320, consistent mode)."""
+    if rng.uniform() > p:
+        return frames
+    x = frames.astype(np.float32) / 255.0
+    if brightness > 0:
+        f = rng.uniform(max(0, 1 - brightness), 1 + brightness)
+        x = x * f
+    if contrast > 0:
+        f = rng.uniform(max(0, 1 - contrast), 1 + contrast)
+        mean = x.mean(axis=(1, 2, 3), keepdims=True)
+        x = (x - mean) * f + mean
+    if saturation > 0:
+        f = rng.uniform(max(0, 1 - saturation), 1 + saturation)
+        gray = x @ np.asarray([0.299, 0.587, 0.114], np.float32)
+        x = (x - gray[..., None]) * f + gray[..., None]
+    if grayscale > 0 and rng.uniform() < grayscale:
+        gray = x @ np.asarray([0.299, 0.587, 0.114], np.float32)
+        x = np.repeat(gray[..., None], 3, axis=-1)
+    return (np.clip(x, 0, 1) * 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# device side (jax, inside jit)
+
+
+def normalize_device(video_u8, mean, std):
+    """uint8 (B,T,H,W,C) -> normalized float32, fused into the step jit
+    (replaces ToTensorVideo + NormalizeVideo on GPU)."""
+    mean = jnp.asarray(mean, jnp.float32) * 255.0
+    std = jnp.asarray(std, jnp.float32) * 255.0
+    return (video_u8.astype(jnp.float32) - mean) / std

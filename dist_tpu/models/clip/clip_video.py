@@ -108,10 +108,10 @@ class CLIPDiSTModel(nn.Module):
             return {"vid_logits": video_emb[:, None, :],
                     "img_logits": frame_cls,
                     "logits_per_image": None}
-        v = video_emb / jnp.linalg.norm(
-            video_emb.astype(jnp.float32), axis=-1, keepdims=True)
+        v = video_emb.astype(jnp.float32)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-6)
         tf = text_features.astype(jnp.float32)
-        tf = tf / jnp.linalg.norm(tf, axis=-1, keepdims=True)
+        tf = tf / jnp.maximum(jnp.linalg.norm(tf, axis=-1, keepdims=True), 1e-6)
         logit_scale = jnp.exp(self.logit_scale.astype(jnp.float32))
         logits_per_image = logit_scale * v @ tf.T
         return {

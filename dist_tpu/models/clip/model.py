@@ -102,6 +102,8 @@ ARCHITECTURES = {
     "ViT-B-32": CLIPArchitecture(512, 224, 12, 768, 32, 77, 49408, 512, 8, 12),
     "ViT-B-16": CLIPArchitecture(512, 224, 12, 768, 16, 77, 49408, 512, 8, 12),
     "ViT-L-14": CLIPArchitecture(768, 224, 24, 1024, 14, 77, 49408, 768, 12, 12),
+    # tiny architecture for smoke tests / CPU pipelines
+    "ViT-Test": CLIPArchitecture(32, 64, 2, 64, 16, 77, 49408, 64, 1, 2),
 }
 
 

@@ -1,0 +1,149 @@
+"""Optimizer factory (optax) with the reference's param-group semantics.
+
+Rebuild of ``models/utils/optimizer.py:23-214``:
+
+- SGD (momentum/nesterov/dampening), Adam, AdamW, LARS selectable via
+  ``OPTIMIZER.OPTIM_METHOD``,
+- DiST param groups (``construct_DiST_optimizer``, optimizer.py:138-186):
+  only ``dist_net`` params train; cls-tokens/positional-embeddings get no
+  weight decay; biases/1-D params get no weight decay; everything gets
+  ``lr_mult = NEW_NET_LRMULT`` and ``weight_decay = NEW_NET_WEIGHT_DECAY``.
+  (The reference's released code TypeErrors on invalid tuple-slice
+  subscripts at optimizer.py:171-182; this implements the clear intent.)
+- ``TRAIN.ONLY_LINEAR`` head-probe mode (optimizer.py:36-42),
+- SimCLR ``ADJUST_LR`` linear batch-size scaling (optimizer.py:47-51),
+- per-step LR from a schedule evaluated at the fractional epoch
+  (``get_epoch_lr``/``set_lr``, optimizer.py:189-214) — in optax the
+  schedule is part of the transformation, so "set_lr" disappears.
+
+Frozen params are handled with ``optax.multi_transform`` + ``set_to_zero``:
+no optimizer state is allocated for them (the functional analog of torch's
+``requires_grad=False`` filtering).
+"""
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dist_tpu.optim.lr_policy import lr_schedule_by_step
+
+TRAINABLE = "trainable"
+NO_WD = "trainable_no_wd"   # cls tokens / positional embeddings / 1-D params
+FROZEN = "frozen"
+
+
+def _path_str(path):
+    return "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+
+
+def param_labels(cfg, params):
+    """Label each param leaf: trainable (+wd), trainable-no-wd, or frozen."""
+    dist_enabled = bool(cfg.VIDEO.BACKBONE.get("DIST")
+                        and cfg.VIDEO.BACKBONE.DIST.ENABLE)
+    only_linear = bool(cfg.TRAIN.get("ONLY_LINEAR", False))
+    freeze_visual = bool(cfg.VIDEO.BACKBONE.get("FREEZE_VISUAL", False))
+    freeze_text = bool(cfg.VIDEO.BACKBONE.get("FREEZE_TEXT", False))
+
+    def label(path, leaf):
+        name = _path_str(path)
+        if only_linear:
+            trainable = "head" in name
+        elif dist_enabled:
+            # reference trains only dist_net.* (+ head) in DiST configs
+            trainable = ("dist_net" in name) or ("head" in name)
+        else:
+            trainable = True
+            if freeze_visual and name.startswith("visual/"):
+                trainable = False
+            if freeze_text and (name.startswith("text/") or name == "logit_scale"):
+                trainable = False
+        if not trainable:
+            return FROZEN
+        no_wd = (
+            name.endswith("cls_token")
+            or name.endswith("positional_embedding")
+            or name.endswith("bias")
+            or jnp.ndim(leaf) <= 1
+        )
+        return NO_WD if no_wd else TRAINABLE
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def _core_transform(cfg, weight_decay):
+    method = cfg.OPTIMIZER.OPTIM_METHOD
+    betas = tuple(cfg.OPTIMIZER.get("BETAS", [0.9, 0.999]))
+    chain = []
+    if method == "sgd":
+        if weight_decay:
+            chain.append(optax.add_decayed_weights(weight_decay))
+        chain.append(optax.trace(
+            decay=float(cfg.OPTIMIZER.MOMENTUM),
+            nesterov=bool(cfg.OPTIMIZER.NESTEROV),
+        ))
+    elif method in ("adam", "adamw"):
+        chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1]))
+        if weight_decay:
+            # decoupled decay (AdamW); plain adam in the reference passes
+            # weight_decay through torch.optim.Adam which is L2-coupled,
+            # but every shipped config uses adamw for non-zero decay.
+            chain.append(optax.add_decayed_weights(weight_decay))
+    elif method == "lars":
+        chain.append(optax.lars(
+            learning_rate=1.0,  # lr applied by the outer scale
+            weight_decay=weight_decay,
+            momentum=float(cfg.OPTIMIZER.MOMENTUM),
+            nesterov=bool(cfg.OPTIMIZER.NESTEROV),
+        ))
+        return optax.chain(*chain)
+    else:
+        raise NotImplementedError(f"Unsupported optimizer {method}")
+    return optax.chain(*chain)
+
+
+def base_lr(cfg):
+    lr = float(cfg.OPTIMIZER.BASE_LR)
+    if cfg.OPTIMIZER.get("ADJUST_LR", False):
+        # SimCLR linear scaling (optimizer.py:47-51); world batch = global
+        n_clips = (cfg.PRETRAIN.get("NUM_CLIPS_PER_VIDEO", 1)
+                   if cfg.PRETRAIN.ENABLE else 1)
+        lr = lr * int(cfg.get("NUM_GPUS", 1)) * cfg.TRAIN.BATCH_SIZE * n_clips / 256.0
+    return lr
+
+
+def construct_optimizer(cfg, params, steps_per_epoch, start_epoch=0):
+    """Build the optax transformation + the step->lr schedule (for logging).
+
+    Returns (tx, schedule_fn). ``tx.init(params)`` allocates state only for
+    trainable leaves.
+    """
+    dist_enabled = bool(cfg.VIDEO.BACKBONE.get("DIST")
+                        and cfg.VIDEO.BACKBONE.DIST.ENABLE)
+    lr_mult = float(cfg.OPTIMIZER.get("NEW_NET_LRMULT", 1.0)) if dist_enabled else 1.0
+    wd = float(cfg.OPTIMIZER.get("NEW_NET_WEIGHT_DECAY", cfg.OPTIMIZER.WEIGHT_DECAY)
+               if dist_enabled else cfg.OPTIMIZER.WEIGHT_DECAY)
+
+    schedule = lr_schedule_by_step(cfg, steps_per_epoch, start_epoch)
+    lr0 = base_lr(cfg)
+    scale_base = float(cfg.OPTIMIZER.BASE_LR)
+
+    def lr_for_step(count):
+        s = schedule(count)
+        # schedule is built on BASE_LR; rescale if ADJUST_LR changed it
+        return s * (lr0 / scale_base) if scale_base else s
+
+    def branch(weight_decay):
+        return optax.chain(
+            _core_transform(cfg, weight_decay),
+            optax.scale(lr_mult),
+            optax.scale_by_schedule(lambda c: -lr_for_step(c)),
+        )
+
+    labels = param_labels(cfg, params)
+    tx = optax.multi_transform(
+        {TRAINABLE: branch(wd), NO_WD: branch(0.0), FROZEN: optax.set_to_zero()},
+        labels,
+    )
+    return tx, lr_for_step

@@ -1,0 +1,125 @@
+"""Train state + jitted train/eval steps.
+
+The TPU-native counterpart of the reference's per-iteration loop body
+(``runs/train.py:81-167``): everything between "batch arrives" and
+"optimizer step done" — mixup, LR, forward, loss, backward, update, EMA,
+and the step metrics — is ONE jitted, mesh-sharded function. The
+reference's NaN check, ``.item()`` syncs, and DDP all-reduces become XLA
+collectives inside the step; metrics come back as a small dict.
+"""
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from dist_tpu.data.mixup import MixupConfig, mixup_batch
+from dist_tpu.data.transforms import normalize_device
+from dist_tpu.optim.losses import calculate_loss
+from dist_tpu.utils.metrics import topks_correct
+
+
+def _prep_video(cfg, video):
+    """uint8 host batches are normalized on-device inside the jit
+    (the TPU analog of AUGMENTATION.USE_GPU, base_dataset.py:390-392)."""
+    if video.dtype == jnp.uint8:
+        return normalize_device(video, list(cfg.DATA.MEAN), list(cfg.DATA.STD))
+    return video
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    variables: Any                      # {"params": ..., "head": ...}
+    opt_state: Any
+    ema_variables: Any = None           # optional EMA copy of variables
+
+
+def create_train_state(variables, tx, ema_decay=None):
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        variables=variables,
+        opt_state=tx.init(variables),
+        ema_variables=(jax.tree_util.tree_map(lambda x: x, variables)
+                       if ema_decay else None),
+    )
+
+
+def make_train_step(model, cfg, tx, lr_fn):
+    """Build the jitted train step.
+
+    step(state, batch, rng) -> (new_state, metrics)
+    batch = {"video": (B,T,H,W,3), "labels": (B,), "text_features": opt}
+    """
+    mixup_on = bool(cfg.AUGMENTATION.MIXUP.ENABLE or cfg.AUGMENTATION.CUTMIX.ENABLE)
+    mc = MixupConfig.from_cfg(cfg) if mixup_on else None
+    ema_decay = (float(cfg.MODEL.EMA.DECAY)
+                 if cfg.MODEL.get("EMA") and cfg.MODEL.EMA.ENABLE else None)
+
+    def step(state: TrainState, batch, rng):
+        video = _prep_video(cfg, batch["video"])
+        labels = {"supervised": batch["labels"]}
+        rng = jax.random.fold_in(rng, state.step)
+
+        if mc is not None and mc.enabled:
+            k_mix, rng = jax.random.split(rng)
+            video, labels["supervised_mixup"] = mixup_batch(
+                k_mix, video, batch["labels"], mc)
+
+        inputs = {"video": video,
+                  "text_features": batch.get("text_features")}
+
+        def loss_fn(variables):
+            preds, logits = model.apply(variables, inputs, train=True,
+                                        rngs={"dropout": rng})
+            loss, parts = calculate_loss(cfg, preds, logits, labels)
+            return loss, (preds, parts)
+
+        (loss, (preds, parts)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.variables)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.variables)
+        variables = optax.apply_updates(state.variables, updates)
+
+        ema_variables = state.ema_variables
+        if ema_decay is not None and ema_variables is not None:
+            ema_variables = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                ema_variables, variables)
+
+        c1, c5 = topks_correct(preds, batch["labels"], (1, 5))
+        n = preds.shape[0]
+        metrics = {
+            "loss": loss,
+            "top1_err": (1.0 - c1 / n) * 100.0,
+            "top5_err": (1.0 - c5 / n) * 100.0,
+            "lr": lr_fn(state.step),
+            **parts,
+        }
+        new_state = TrainState(step=state.step + 1, variables=variables,
+                               opt_state=opt_state, ema_variables=ema_variables)
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(model, cfg, use_ema=False):
+    """eval step: (state, batch) -> metrics (+ softmax preds for meters)."""
+
+    def step(state: TrainState, batch):
+        variables = state.ema_variables if use_ema else state.variables
+        inputs = {"video": _prep_video(cfg, batch["video"]),
+                  "text_features": batch.get("text_features")}
+        preds, _ = model.apply(variables, inputs, train=False)
+        c1, c5 = topks_correct(preds, batch["labels"], (1, 5))
+        n = preds.shape[0]
+        return {
+            "preds": preds,
+            "top1_err": (1.0 - c1 / n) * 100.0,
+            "top5_err": (1.0 - c5 / n) * 100.0,
+        }
+
+    return step

@@ -1,0 +1,96 @@
+"""Multi-view test task (reference runs/test.py:24-322).
+
+Per clip-view forward -> softmax scores; the TestMeter regroups views by
+``dataset index // num_clips`` and score-sums them per video
+(utils/meters.py:94-114). Cross-host: each JAX process evaluates its index
+shard and the small (preds, labels, ids) triples are all-gathered host-side
+(replacing the reference's NCCL all_gather, runs/test.py:131-141).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dist_tpu.data.builder import build_loader
+from dist_tpu.models.base.models import build_model
+from dist_tpu.parallel.mesh import build_mesh, replicate, shard_batch
+from dist_tpu.tasks.state import TrainState, make_eval_step
+from dist_tpu.utils import checkpoint as cu
+from dist_tpu.utils import logging, misc
+from dist_tpu.utils.meters import TestMeter
+
+logger = logging.get_logger(__name__)
+
+
+def _init_test_state(cfg, model, sample_batch):
+    rng = jax.random.PRNGKey(int(cfg.RANDOM_SEED))
+    sample_inputs = {"video": jnp.zeros(
+        (2,) + tuple(sample_batch["video"].shape[1:]), jnp.float32)}
+    variables = model.init(rng, sample_inputs)
+    import os
+    w = (cfg.VIDEO.BACKBONE.get("LOCAL_PRETRAIN_WEIGHT_PATH")
+         or cfg.VIDEO.BACKBONE.get("PRETRAIN_WEIGHT_PATH"))
+    if w and os.path.exists(w):
+        variables = cu.load_torch_variables(cfg, w, variables)
+    return TrainState(step=jnp.zeros((), jnp.int32), variables=variables,
+                      opt_state=(), ema_variables=None)
+
+
+def test(cfg):
+    """(reference runs/test.py:181-322)"""
+    np.random.seed(int(cfg.RANDOM_SEED))
+    logging.setup_logging(cfg, cfg.TEST.LOG_FILE)
+
+    mesh = build_mesh(cfg)
+    model = build_model(cfg)
+    loader = build_loader(cfg, "test")
+    dataset = loader.dataset
+
+    num_views = cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
+    assert len(dataset) % num_views == 0, (
+        f"dataset size {len(dataset)} not divisible by views {num_views}")
+    num_videos = len(dataset) // num_views
+    num_cls = int(cfg.VIDEO.HEAD.NUM_CLASSES)
+    meter = TestMeter(num_videos, num_views, num_cls, cfg,
+                      ensemble_method=cfg.DATA.ENSEMBLE_METHOD)
+
+    first_batch = next(iter(loader))
+    state = _init_test_state(cfg, model, first_batch)
+    state = cu.load_test_checkpoint(cfg, state)
+    if cfg.LOG_MODEL_INFO:
+        misc.log_model_info(state.variables)
+
+    text_features = None
+    if getattr(dataset, "text_tokens", None) is not None:
+        text_features = jax.device_get(jax.jit(
+            lambda v, t: model.encode_text(v, t))(
+            state.variables, jnp.asarray(dataset.text_tokens)))
+
+    with mesh:
+        state = replicate(mesh, state)
+        eval_step = jax.jit(make_eval_step(model, cfg))
+        perform_test(cfg, mesh, state, eval_step, loader, meter, text_features)
+
+    return meter.finalize_metrics()
+
+
+def perform_test(cfg, mesh, state, eval_step, loader, meter, text_features):
+    """(reference runs/test.py:24-178)"""
+    for cur_iter, batch in enumerate(loader):
+        device_batch = shard_batch(mesh, {
+            "video": batch["video"], "labels": batch["label"]})
+        if text_features is not None:
+            device_batch["text_features"] = text_features
+        metrics = eval_step(state, device_batch)
+        preds = np.asarray(jax.device_get(metrics["preds"]))
+        labels, ids = batch["label"], batch["index"]
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            preds, labels, ids = map(
+                lambda x: np.concatenate(
+                    multihost_utils.process_allgather(x, tiled=False)),
+                (preds, labels, ids))
+        meter.update_stats(preds, labels, ids)
+        if (cur_iter + 1) % cfg.LOG_PERIOD == 0:
+            logger.info("test iter %d/%d", cur_iter + 1, len(loader))
+    return meter

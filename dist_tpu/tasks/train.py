@@ -1,0 +1,147 @@
+"""Training task loop (reference runs/train.py:331-431 + train_epoch 40-206).
+
+Single-controller, mesh-sharded: the entire per-iteration body (mixup, LR,
+forward/backward, update, EMA, metrics) is one jitted step; batches stream
+in host-sharded and get placed with the data-axis sharding. Epochs stride
+``NUM_FOLDS`` with the reference's shuffle/checkpoint/eval cadence. The
+``./current_epoch/`` filesystem IPC (runs/train.py:29-37) is gone — the
+loader gets the epoch passed explicitly.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dist_tpu.data.builder import build_loader, shuffle_dataset
+from dist_tpu.models.base.models import build_model
+from dist_tpu.optim.optimizer import construct_optimizer
+from dist_tpu.parallel.mesh import build_mesh, replicate, shard_batch
+from dist_tpu.tasks.state import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from dist_tpu.utils import checkpoint as cu
+from dist_tpu.utils import logging, misc
+from dist_tpu.utils.meters import TrainMeter, ValMeter
+
+logger = logging.get_logger(__name__)
+
+
+def _init_state(cfg, model, sample_batch, steps_per_epoch):
+    rng = jax.random.PRNGKey(int(cfg.RANDOM_SEED))
+    sample_inputs = {"video": jnp.zeros(
+        (2,) + tuple(sample_batch["video"].shape[1:]), jnp.float32)}
+    variables = model.init(rng, sample_inputs)
+
+    # pretrained CLIP weights (reference: clip.load at model build,
+    # models/base/clip.py:614-629)
+    import os
+    w = (cfg.VIDEO.BACKBONE.get("LOCAL_PRETRAIN_WEIGHT_PATH")
+         or cfg.VIDEO.BACKBONE.get("PRETRAIN_WEIGHT_PATH"))
+    if w and os.path.exists(w):
+        variables = cu.load_torch_variables(cfg, w, variables)
+        logger.info("Loaded pretrained CLIP weights from %s", w)
+
+    tx, lr_fn = construct_optimizer(cfg, variables, steps_per_epoch)
+    ema_decay = (float(cfg.MODEL.EMA.DECAY)
+                 if cfg.MODEL.get("EMA") and cfg.MODEL.EMA.ENABLE else None)
+    state = create_train_state(variables, tx, ema_decay)
+    return state, tx, lr_fn
+
+
+def _text_features(cfg, model, state, dataset):
+    if getattr(dataset, "text_tokens", None) is None:
+        return None
+    feats = jax.jit(lambda v, t: model.encode_text(v, t))(
+        state.variables, jnp.asarray(dataset.text_tokens))
+    return jax.device_get(feats)
+
+
+def train(cfg):
+    """(reference runs/train.py:331)"""
+    np.random.seed(int(cfg.RANDOM_SEED))
+    logging.setup_logging(cfg, cfg.TRAIN.LOG_FILE)
+    logger.info("Train with config:\n%s", cfg.dump() if cfg.LOG_CONFIG_INFO else "")
+
+    mesh = build_mesh(cfg)
+    model = build_model(cfg)
+
+    train_loader = build_loader(cfg, "train")
+    val_loader = build_loader(cfg, "val")
+    steps_per_epoch = max(len(train_loader) // max(int(cfg.TRAIN.get("NUM_FOLDS", 1)), 1), 1)
+
+    first_batch = next(iter(train_loader))
+    state, tx, lr_fn = _init_state(cfg, model, first_batch, steps_per_epoch)
+    if cfg.LOG_MODEL_INFO:
+        misc.log_model_info(state.variables)
+    state, start_epoch = cu.load_train_checkpoint(cfg, state)
+
+    text_features = _text_features(cfg, model, state, train_loader.dataset)
+
+    with mesh:
+        state = replicate(mesh, state)
+        train_step = jax.jit(make_train_step(model, cfg, tx, lr_fn),
+                             donate_argnums=(0,) if cfg.TPU.DONATE_STATE else ())
+        eval_step = jax.jit(make_eval_step(model, cfg))
+
+        rng = jax.random.PRNGKey(int(cfg.RANDOM_SEED) + 1)
+        num_folds = int(cfg.TRAIN.get("NUM_FOLDS", 1))
+        train_meter = TrainMeter(len(train_loader), cfg)
+        val_meter = ValMeter(len(val_loader), cfg)
+
+        for cur_epoch in range(start_epoch, cfg.OPTIMIZER.MAX_EPOCH, num_folds):
+            shuffle_dataset(train_loader, cur_epoch)
+            state = train_epoch(cfg, mesh, state, train_step, train_loader,
+                                train_meter, cur_epoch, rng, text_features)
+            if cu.is_checkpoint_epoch(cfg, cur_epoch):
+                cu.save_checkpoint(cfg, jax.device_get(state), cur_epoch)
+            if misc.is_eval_epoch(cfg, cur_epoch):
+                eval_epoch(cfg, mesh, state, eval_step, val_loader, val_meter,
+                           cur_epoch, text_features)
+    return state
+
+
+def train_epoch(cfg, mesh, state, train_step, loader, meter, cur_epoch, rng,
+                text_features):
+    meter.iter_tic()
+    for cur_iter, batch in enumerate(loader):
+        device_batch = shard_batch(mesh, {
+            "video": batch["video"], "labels": batch["label"]})
+        if text_features is not None:
+            device_batch["text_features"] = text_features
+        state, metrics = train_step(state, device_batch, rng)
+        metrics = jax.device_get(metrics)
+        misc.check_nan_losses(metrics["loss"])
+        meter.iter_toc()
+        meter.update_stats(
+            float(metrics["top1_err"]), float(metrics["top5_err"]),
+            float(metrics["loss"]), float(metrics["lr"]),
+            batch["video"].shape[0] * jax.process_count())
+        extra = {k: float(v) for k, v in metrics.items()
+                 if k not in ("loss", "top1_err", "top5_err", "lr", "preds")}
+        if extra:
+            meter.update_custom_stats(extra)
+        meter.log_iter_stats(cur_epoch, cur_iter)
+        meter.iter_tic()
+    meter.log_epoch_stats(cur_epoch + int(cfg.TRAIN.get("NUM_FOLDS", 1)) - 1)
+    meter.reset()
+    return state
+
+
+def eval_epoch(cfg, mesh, state, eval_step, loader, meter, cur_epoch,
+               text_features):
+    """(reference runs/train.py:209-329)"""
+    meter.reset()
+    for batch in loader:
+        device_batch = shard_batch(mesh, {
+            "video": batch["video"], "labels": batch["label"]})
+        if text_features is not None:
+            device_batch["text_features"] = text_features
+        metrics = jax.device_get(eval_step(state, device_batch))
+        meter.update_stats(float(metrics["top1_err"]), float(metrics["top5_err"]),
+                           batch["video"].shape[0] * jax.process_count())
+    return meter.log_epoch_stats(cur_epoch)

@@ -1,0 +1,205 @@
+"""Checkpointing: Orbax save/load + PyTorch import.
+
+Rebuild of the reference's ``utils/checkpoint.py``:
+
+- save ``{epoch, variables, opt_state, ema}`` per checkpoint epoch under
+  ``OUTPUT_DIR/checkpoints/`` (checkpoint.py:102-143) via Orbax (multihost-
+  safe, replaces master-only torch.save),
+- auto-resume from the latest checkpoint / fine-tune entry
+  (``load_train_checkpoint``, checkpoint.py:532-577),
+- test-time priority TEST.CHECKPOINT_FILE_PATH > last > TRAIN's
+  (``load_test_checkpoint``, checkpoint.py:452-529),
+- ``CHECKPOINT_TYPE: pytorch``: released ``.pyth``/``.pt`` checkpoints are
+  converted on the fly (incl. the ladder_net rename) — replaces
+  ``process_dist_cpkt.py``.
+"""
+
+import os
+import re
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from dist_tpu.utils import logging
+
+logger = logging.get_logger(__name__)
+
+
+def checkpoint_dir(cfg):
+    return os.path.join(cfg.OUTPUT_DIR, "checkpoints")
+
+
+def make_checkpoint_dir(output_dir):
+    os.makedirs(os.path.join(output_dir, "checkpoints"), exist_ok=True)
+
+
+def _ckpt_path(cfg, epoch):
+    return os.path.abspath(
+        os.path.join(checkpoint_dir(cfg), f"checkpoint_epoch_{epoch:05d}"))
+
+
+def get_last_checkpoint(cfg):
+    """Latest checkpoint dir or None (checkpoint.py:62-75)."""
+    d = checkpoint_dir(cfg)
+    if not os.path.isdir(d):
+        return None
+    names = [n for n in os.listdir(d)
+             if re.match(r"checkpoint_epoch_\d+$", n)
+             and os.path.isdir(os.path.join(d, n))]
+    if not names:
+        return None
+    return os.path.abspath(os.path.join(d, sorted(names)[-1]))
+
+
+def is_checkpoint_epoch(cfg, cur_epoch):
+    """Checkpoint cadence incl. densified saves near the end
+    (checkpoint.py:89-99)."""
+    period = int(cfg.TRAIN.CHECKPOINT_PERIOD)
+    max_epoch = int(cfg.OPTIMIZER.MAX_EPOCH)
+    folds = int(cfg.TRAIN.get("NUM_FOLDS", 1))
+    next_epoch = cur_epoch + folds
+    return (next_epoch % period < folds) or (next_epoch >= max_epoch)
+
+
+def save_checkpoint(cfg, state, cur_epoch):
+    """Save the full TrainState at OUTPUT_DIR/checkpoints/ (orbax)."""
+    path = _ckpt_path(cfg, cur_epoch + 1)
+    ckptr = ocp.StandardCheckpointer()
+    payload = {
+        "epoch": np.asarray(cur_epoch + 1, np.int32),
+        "step": np.asarray(state.step),
+        "variables": state.variables,
+        "opt_state": state.opt_state,
+    }
+    if state.ema_variables is not None:
+        payload["ema_variables"] = state.ema_variables
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    logger.info("Saved checkpoint %s", path)
+    return path
+
+
+def load_checkpoint(path, template=None):
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        return ckptr.restore(path, target=template)
+    return ckptr.restore(path)
+
+
+def _is_torch_ckpt(path):
+    return path.endswith((".pyth", ".pt", ".pth"))
+
+
+def load_torch_variables(cfg, path, variables_template):
+    """Convert a torch checkpoint into our variables tree, verifying leaf
+    shapes against the template."""
+    from dist_tpu.models.clip.convert import (
+        convert_clip_params, load_torch_state_dict)
+    from dist_tpu.models.dist.dist_net import DiSTConfig
+
+    sd = load_torch_state_dict(path)
+    dist_cfg = None
+    if cfg.VIDEO.BACKBONE.get("DIST") and cfg.VIDEO.BACKBONE.DIST.ENABLE:
+        dist_cfg = DiSTConfig.from_cfg(cfg)
+    params, _ = convert_clip_params(sd, with_dist=dist_cfg)
+
+    template = variables_template["params"]
+    merged, missing, unexpected = merge_into_template(template, params)
+    if missing:
+        logger.info("Keys in model not matched: %s", missing[:20])
+    if unexpected:
+        logger.info("Keys in checkpoint not matched: %s", unexpected[:20])
+    out = dict(variables_template)
+    out["params"] = merged
+    return out
+
+
+def merge_into_template(template, loaded):
+    """Structural merge: loaded leaves overwrite template leaves where paths
+    + shapes match (the functional analog of load_state_dict(strict=False),
+    clip.py:608-610)."""
+    missing, unexpected = [], []
+
+    def walk(tpl, new, path):
+        if isinstance(tpl, dict):
+            out = {}
+            new = new or {}
+            for k, v in tpl.items():
+                if k in new:
+                    out[k] = walk(v, new[k], path + (k,))
+                else:
+                    missing.append("/".join(path + (k,)))
+                    out[k] = v
+            for k in new:
+                if k not in tpl:
+                    unexpected.append("/".join(path + (k,)))
+            return out
+        if new is None:
+            missing.append("/".join(path))
+            return tpl
+        new = np.asarray(new)
+        if tuple(new.shape) != tuple(np.shape(tpl)):
+            missing.append("/".join(path) + f" (shape {new.shape} vs {np.shape(tpl)})")
+            return tpl
+        return new.astype(np.asarray(tpl).dtype)
+
+    return walk(template, loaded, ()), missing, unexpected
+
+
+def load_train_checkpoint(cfg, state):
+    """Auto-resume / fine-tune logic (checkpoint.py:532-577). Returns
+    (state, start_epoch)."""
+    if cfg.TRAIN.AUTO_RESUME and get_last_checkpoint(cfg):
+        path = get_last_checkpoint(cfg)
+        logger.info("Auto-resume from %s", path)
+        payload = {"epoch": np.asarray(0, np.int32),
+                   "step": np.asarray(state.step),
+                   "variables": state.variables, "opt_state": state.opt_state}
+        if state.ema_variables is not None:
+            payload["ema_variables"] = state.ema_variables
+        restored = load_checkpoint(path, payload)
+        state = state.replace(
+            step=restored["step"], variables=restored["variables"],
+            opt_state=restored["opt_state"],
+            ema_variables=restored.get("ema_variables", state.ema_variables))
+        return state, int(restored["epoch"])
+    ckpt = cfg.TRAIN.CHECKPOINT_FILE_PATH
+    if ckpt:
+        if _is_torch_ckpt(ckpt) or cfg.TRAIN.CHECKPOINT_TYPE == "pytorch":
+            variables = load_torch_variables(cfg, ckpt, state.variables)
+            state = state.replace(variables=variables)
+        else:
+            restored = load_checkpoint(ckpt)
+            merged, m, u = merge_into_template(state.variables,
+                                               restored.get("variables", restored))
+            state = state.replace(variables=merged)
+        logger.info("Fine-tune init from %s (epoch reset)", ckpt)
+    return state, 0
+
+
+def load_test_checkpoint(cfg, state):
+    """Priority TEST.ckpt > last > TRAIN.ckpt (checkpoint.py:452-529)."""
+    for path in (cfg.TEST.CHECKPOINT_FILE_PATH, get_last_checkpoint(cfg),
+                 cfg.TRAIN.CHECKPOINT_FILE_PATH):
+        if not path:
+            continue
+        if _is_torch_ckpt(path):
+            variables = load_torch_variables(cfg, path, state.variables)
+            return state.replace(variables=variables)
+        try:
+            # template-free restore: test states carry no opt_state, so the
+            # saved tree is read raw and only the variables are merged
+            restored = load_checkpoint(path)
+        except Exception as e:
+            logger.warning("could not restore %s (%s)", path, e)
+            continue
+        merged, missing, unexpected = merge_into_template(
+            state.variables, restored.get("variables", restored))
+        if missing:
+            logger.info("Keys in model not matched: %s", missing[:20])
+        logger.info("Loaded test checkpoint %s", path)
+        return state.replace(variables=merged)
+    logger.warning("Testing with random initialization (no checkpoint found). "
+                   "Only knowing the structure of the model.")
+    return state

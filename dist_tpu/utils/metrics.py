@@ -1,0 +1,50 @@
+"""Classification metrics (reference utils/metrics.py).
+
+``topks_correct`` and friends as jnp functions usable inside jit; the EPIC
+joint verb-noun top-k follows the reference's outer-product formulation
+(utils/metrics.py:12-99).
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def topks_correct(preds, labels, ks):
+    """Number of top-k correct predictions for each k
+    (utils/metrics.py:102-135). preds (N, C), labels (N,)."""
+    max_k = max(ks)
+    _, top_idx = jax.lax.top_k(preds, max_k)          # (N, max_k)
+    correct = top_idx == labels[:, None]              # (N, max_k)
+    return [jnp.sum(correct[:, :k]).astype(jnp.float32) for k in ks]
+
+
+def topk_errors(preds, labels, ks):
+    """(1 - #correct/N) * 100 per k (utils/metrics.py:138-146)."""
+    n = preds.shape[0]
+    return [(1.0 - c / n) * 100.0 for c in topks_correct(preds, labels, ks)]
+
+
+def topk_accuracies(preds, labels, ks):
+    n = preds.shape[0]
+    return [(c / n) * 100.0 for c in topks_correct(preds, labels, ks)]
+
+
+def joint_topks_correct(verb_preds, noun_preds, verb_labels, noun_labels, ks):
+    """EPIC joint action top-k: outer product of verb/noun scores
+    (utils/metrics.py:12-99). Returns dict of correct counts per k."""
+    n = verb_preds.shape[0]
+    vp = jax.nn.softmax(verb_preds.astype(jnp.float32), axis=-1)
+    np_ = jax.nn.softmax(noun_preds.astype(jnp.float32), axis=-1)
+    joint = vp[:, :, None] * np_[:, None, :]          # (N, V, Nn)
+    flat = joint.reshape(n, -1)
+    labels_flat = verb_labels * noun_preds.shape[-1] + noun_labels
+    out = {}
+    for name, p, l in (("verb", verb_preds, verb_labels),
+                       ("noun", noun_preds, noun_labels)):
+        cs = topks_correct(p, l, ks)
+        for k, c in zip(ks, cs):
+            out[f"{name}_top{k}"] = c
+    cs = topks_correct(flat, labels_flat, ks)
+    for k, c in zip(ks, cs):
+        out[f"action_top{k}"] = c
+    return out

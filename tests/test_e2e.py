@@ -1,0 +1,56 @@
+"""End-to-end smoke: tiny DiST train -> checkpoint -> multi-view test on
+synthetic data, on the virtual 8-device CPU mesh (exercises the sharded
+train step, mixup, LR schedule, meters, orbax checkpointing, and the
+multi-view TestMeter regrouping)."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from dist_tpu.config import load_config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CFG = os.path.join(REPO, "configs/projects/dist/test/tiny_synth.yaml")
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("e2e_out"))
+    cfg = load_config(CFG, opts=["OUTPUT_DIR", out])
+    return cfg
+
+
+def test_train_and_eval(tiny_cfg):
+    from dist_tpu.tasks.train import train
+
+    cfg = tiny_cfg.deep_copy()
+    state = train(cfg)
+    assert int(state.step) == 2  # 8 samples / batch 4 = 2 steps
+    ckpts = os.listdir(os.path.join(cfg.OUTPUT_DIR, "checkpoints"))
+    assert any(c.startswith("checkpoint_epoch_") for c in ckpts)
+
+
+def test_multiview_test(tiny_cfg):
+    from dist_tpu.tasks.test import test as test_task
+
+    cfg = tiny_cfg.deep_copy()
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 3
+    cfg.TEST.NUM_SPATIAL_CROPS = 1
+    stats = test_task(cfg)
+    assert "top1_acc" in stats and "top5_acc" in stats
+    assert 0.0 <= float(stats["top1_acc"]) <= 100.0
+
+
+def test_deterministic_eval(tiny_cfg):
+    """Same checkpoint + config -> identical metrics (keyed PRNG, no
+    hidden state; SURVEY section 5.2)."""
+    from dist_tpu.tasks.test import test as test_task
+
+    cfg = tiny_cfg.deep_copy()
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 1
+    s1 = test_task(cfg)
+    s2 = test_task(cfg)
+    assert s1["top1_acc"] == s2["top1_acc"]
+    assert s1["top5_acc"] == s2["top5_acc"]
