@@ -55,15 +55,22 @@ def main():
             train=False)
         return preds
 
+    import numpy as np
+
+    def sync(x):
+        # block_until_ready is a no-op through the axon tunnel; a
+        # device->host transfer is the reliable sync point
+        return np.asarray(jax.device_get(x[0, :1]))
+
     out = forward(variables, video_u8, text_features)
-    jax.block_until_ready(out)
+    sync(out)
     for _ in range(WARMUP):
-        jax.block_until_ready(forward(variables, video_u8, text_features))
+        sync(forward(variables, video_u8, text_features))
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         out = forward(variables, video_u8, text_features)
-    jax.block_until_ready(out)
+    sync(out)
     dt = time.perf_counter() - t0
 
     clips_per_sec = BATCH * ITERS / dt

@@ -1,0 +1,5 @@
+"""Model package: importing registers all backbones/branches/heads."""
+
+from dist_tpu.models.base import models  # noqa: F401
+from dist_tpu.models.backbones import resnet3d  # noqa: F401
+from dist_tpu.models.branches import tada  # noqa: F401

@@ -28,6 +28,63 @@ BRANCH_REGISTRY = Registry("Branch")
 
 
 @HEAD_REGISTRY.register()
+class BaseHead(nn.Module):
+    """Default classification head: global avg pool -> dropout -> linear ->
+    softmax at eval (reference models/base/base_blocks.py:366-436)."""
+
+    num_classes: int = 0
+    dropout_rate: float = 0.0
+    activation: str = "softmax"
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        if isinstance(x, dict):
+            x = x.get("features", x.get("vid_logits"))
+        if x.ndim == 5:  # (B, T, H, W, C) feature map
+            x = x.mean(axis=(1, 2, 3))
+        elif x.ndim > 2:
+            x = x.reshape(x.shape[0], -1)
+        feat = x
+        if self.dropout_rate > 0:
+            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        out = nn.Dense(self.num_classes, name="out")(x)
+        if not train:
+            if self.activation == "softmax":
+                out = jax.nn.softmax(out.astype(jnp.float32), axis=-1)
+            elif self.activation == "sigmoid":
+                out = jax.nn.sigmoid(out.astype(jnp.float32))
+        return out, feat
+
+
+@HEAD_REGISTRY.register()
+class BaseHeadx2(nn.Module):
+    """Dual verb/noun head for EPIC-KITCHENS
+    (reference base_blocks.py:438-506): two linear classifiers over the
+    pooled feature; preds is a dict."""
+
+    num_classes: tuple = (0, 0)
+    dropout_rate: float = 0.0
+    activation: str = "softmax"
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        if isinstance(x, dict):
+            x = x.get("features", x.get("vid_logits"))
+        if x.ndim == 5:
+            x = x.mean(axis=(1, 2, 3))
+        feat = x
+        if self.dropout_rate > 0:
+            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        outs = {}
+        for i, key in enumerate(("verb_class", "noun_class")):
+            o = nn.Dense(self.num_classes[i], name=f"out{i + 1}")(x)
+            if not train and self.activation == "softmax":
+                o = jax.nn.softmax(o.astype(jnp.float32), axis=-1)
+            outs[key] = o
+        return outs, feat
+
+
+@HEAD_REGISTRY.register()
 class ClipVideoTextIdentity(nn.Module):
     """DiST's head (reference models/base/base_blocks.py:541-585): mean over
     the view axis of logits_per_image; softmax at eval."""
@@ -77,35 +134,61 @@ class VideoModel:
     head: Optional[nn.Module]
     cfg: Any
 
+    @property
+    def _is_clip(self):
+        return hasattr(type(self.module), "encode_text")
+
     def init(self, rng, sample_inputs):
         variables = {}
         video = sample_inputs["video"]
-        init_method = getattr(type(self.module), "init_all", None)
-        if init_method is not None:
+        if self._is_clip:
             ctx_len = self.module.arch.context_length
             tokens = jnp.ones((1, ctx_len), jnp.int32)
-            params = self.module.init(rng, video, tokens,
-                                      method=init_method)["params"]
+            mvars = self.module.init(rng, video, tokens,
+                                     method=type(self.module).init_all)
+            out = None
         else:
-            params = self.module.init(rng, video)["params"]
-        variables["params"] = params
+            mvars = self.module.init(rng, video, train=False)
+            out = self.module.apply(
+                {k: mvars[k] for k in mvars}, video, train=False)
+        variables["params"] = mvars["params"]
+        if "batch_stats" in mvars:
+            variables["batch_stats"] = mvars["batch_stats"]
         if self.head is not None and _head_has_params(self.head):
-            # head params initialized from a dummy backbone output
-            out = self.module.apply({"params": params}, video)
+            if out is None:
+                out = self.module.apply({"params": mvars["params"]}, video)
             hp = self.head.init(jax.random.fold_in(rng, 1), out)["params"]
             variables["head"] = hp
         return variables
 
-    def apply(self, variables, inputs, train=True, rngs=None):
+    def apply(self, variables, inputs, train=True, rngs=None,
+              return_new_state=False):
+        """Forward contract ``preds, logits = model(inputs)``
+        (reference models/base/models.py:42-45). With BatchNorm backbones and
+        ``train=True``, pass ``return_new_state=True`` to also receive the
+        updated batch_stats."""
         video = inputs["video"]
-        text_features = inputs.get("text_features")
-        out = self.module.apply(
-            {"params": variables["params"]}, video, text_features, rngs=rngs
-        )
+        mvars = {"params": variables["params"]}
+        if "batch_stats" in variables:
+            mvars["batch_stats"] = variables["batch_stats"]
+        new_stats = None
+        if self._is_clip:
+            out = self.module.apply(mvars, video,
+                                    inputs.get("text_features"), rngs=rngs)
+        elif "batch_stats" in mvars and train:
+            out, updated = self.module.apply(
+                mvars, video, train=True, rngs=rngs, mutable=["batch_stats"])
+            new_stats = updated["batch_stats"]
+        else:
+            out = self.module.apply(mvars, video, train=train, rngs=rngs)
         if self.head is None:
-            return out, out
-        head_vars = {"params": variables.get("head", {})}
-        preds, logits = self.head.apply(head_vars, out, train=train, rngs=rngs)
+            preds, logits = out, out
+        else:
+            head_vars = {"params": variables.get("head", {})}
+            preds, logits = self.head.apply(head_vars, out, train=train,
+                                            rngs=rngs)
+        if return_new_state:
+            return preds, logits, new_stats
         return preds, logits
 
     def encode_text(self, variables, tokens):
@@ -116,7 +199,7 @@ class VideoModel:
 
 
 def _head_has_params(head):
-    return isinstance(head, ClipVideoHeadLinear)
+    return not isinstance(head, ClipVideoTextIdentity)
 
 
 def build_head(cfg):
@@ -124,21 +207,23 @@ def build_head(cfg):
     if not name:
         return None
     cls = HEAD_REGISTRY.get_strict(name)
-    kwargs = {}
-    if cls is ClipVideoHeadLinear:
-        kwargs = dict(num_classes=cfg.VIDEO.HEAD.NUM_CLASSES or 0,
-                      dropout_rate=float(cfg.VIDEO.HEAD.DROPOUT_RATE or 0.0),
-                      activation=cfg.VIDEO.HEAD.ACTIVATION)
-    elif cls is ClipVideoTextIdentity:
-        kwargs = dict(activation=cfg.VIDEO.HEAD.ACTIVATION)
-    else:
-        kwargs = dict(cfg=cfg)
-    return cls(**kwargs)
+    nc = cfg.VIDEO.HEAD.NUM_CLASSES
+    common = dict(dropout_rate=float(cfg.VIDEO.HEAD.DROPOUT_RATE or 0.0),
+                  activation=cfg.VIDEO.HEAD.ACTIVATION)
+    if cls is ClipVideoTextIdentity:
+        return cls(activation=cfg.VIDEO.HEAD.ACTIVATION)
+    if cls is BaseHeadx2:
+        return cls(num_classes=tuple(nc), **common)
+    if cls in (BaseHead, ClipVideoHeadLinear):
+        return cls(num_classes=int(nc or 0), **common)
+    return cls(cfg=cfg)
 
 
 def build_model(cfg, clip_arch=None) -> VideoModel:
     """Assemble backbone + head (reference models/base/builder.py:19-75;
     DDP/SyncBN/EMA wrapping is replaced by sharded train-step compilation)."""
+    import dist_tpu.models  # noqa: F401  (registers all backbones/branches)
+
     meta_arch = cfg.VIDEO.BACKBONE.META_ARCH
     builder = BACKBONE_REGISTRY.get_strict(meta_arch)
     module = builder(cfg) if not isinstance(builder, type) else builder(cfg=cfg)

@@ -48,6 +48,10 @@ def param_labels(cfg, params):
 
     def label(path, leaf):
         name = _path_str(path)
+        if name.startswith("batch_stats"):
+            # BN running stats update through the forward pass, never the
+            # optimizer
+            return FROZEN
         if only_linear:
             trainable = "head" in name
         elif dist_enabled:

@@ -73,16 +73,20 @@ def make_train_step(model, cfg, tx, lr_fn):
                   "text_features": batch.get("text_features")}
 
         def loss_fn(variables):
-            preds, logits = model.apply(variables, inputs, train=True,
-                                        rngs={"dropout": rng})
+            preds, logits, new_stats = model.apply(
+                variables, inputs, train=True, rngs={"dropout": rng},
+                return_new_state=True)
             loss, parts = calculate_loss(cfg, preds, logits, labels)
-            return loss, (preds, parts)
+            return loss, (preds, parts, new_stats)
 
-        (loss, (preds, parts)), grads = jax.value_and_grad(
+        (loss, (preds, parts, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.variables)
 
         updates, opt_state = tx.update(grads, state.opt_state, state.variables)
         variables = optax.apply_updates(state.variables, updates)
+        if new_stats is not None:
+            variables = dict(variables)
+            variables["batch_stats"] = new_stats
 
         ema_variables = state.ema_variables
         if ema_decay is not None and ema_variables is not None:
