@@ -1,0 +1,227 @@
+"""SlowFast networks (reference models/base/slowfast.py:14-155,
+branches/slowfast_branch.py:14-100, heads/slowfast_head.py:14-201).
+
+Two ResNet3D pathways — slow (T/alpha frames, wide) and fast (T frames,
+width/beta) — with fast->slow lateral fusions (stride-alpha temporal conv)
+after the stem and each of the first three stages.
+
+TPU-first notes:
+
+- the dual-rate split happens INSIDE the module (``x[:, ::alpha]``) so the
+  input pipeline ships one dense uint8 tensor instead of two floats (the
+  reference splits in the dataset, base_dataset.py:434-438),
+- pathways and fusions are plain NDHWC convs; no channels-first permutes.
+"""
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from dist_tpu.models.base.models import (
+    BACKBONE_REGISTRY,
+    BRANCH_REGISTRY,
+    HEAD_REGISTRY,
+    STEM_REGISTRY,
+)
+from dist_tpu.models.backbones.resnet3d import (
+    _N_CONV_RESNET,
+    Base3DResStage,
+    ConvBN,
+)
+
+import jax
+
+
+@BRANCH_REGISTRY.register()
+class SlowfastBranch(nn.Module):
+    """Bottleneck with optional temporal conv in 'a'
+    (slowfast_branch.py:14-100)."""
+
+    spec: Any
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        s = self.spec
+        k, st = s["kernel_size"], s["stride"]
+        exp = s["num_filters"] // s["expansion_ratio"]
+        kt = k[0] if s.get("temporal_conv_bottleneck", False) else 1
+        if s["transformation"] == "simple_block":
+            x = ConvBN(s["num_filters"], k, st, name="a")(x, train)
+            x = ConvBN(s["num_filters"], k, relu=False, name="b")(x, train)
+            return x
+        x = ConvBN(exp, (kt, 1, 1), name="a")(x, train)
+        x = ConvBN(exp, (1, k[1], k[2]), (1, st[1], st[2]), name="b")(x, train)
+        x = ConvBN(s["num_filters"], (1, 1, 1), relu=False, name="c")(x, train)
+        return x
+
+
+class _PathwayCfg:
+    """Per-pathway view of the config (slowfast.py:37-50): the fast pathway
+    divides filters by BETA; the slow pathway's block inputs grow by the
+    fusion channels."""
+
+    def __init__(self, cfg, pathway):
+        self.cfg = cfg
+        self.pathway = pathway  # 0 slow, 1 fast
+        bb = cfg.VIDEO.BACKBONE
+        beta = bb.SLOWFAST.BETA
+        base = list(bb.NUM_FILTERS)
+        self.filters = base if pathway == 0 else [f // beta for f in base]
+        self.kernels = [tuple(k) for k in bb.KERNEL_SIZE[pathway]]
+        self.tcb = list(bb.TEMPORAL_CONV_BOTTLENECK[pathway])
+        self.fusion_extra = (bb.SLOWFAST.CONV_CHANNEL_RATIO if pathway == 0
+                             else 0)
+        self.beta = beta
+
+    def block_spec(self, stage_id, block_id):
+        bb = self.cfg.VIDEO.BACKBONE
+        dim_in = self.filters[stage_id - 1 if block_id == 0 else stage_id]
+        if block_id == 0 and self.pathway == 0 and bb.SLOWFAST.MODE == "slowfast":
+            # fused fast channels concatenated before each slow stage
+            dim_in = dim_in + (self.filters[stage_id - 1] // self.beta
+                               * bb.SLOWFAST.CONV_CHANNEL_RATIO)
+        down = bb.DOWNSAMPLING[stage_id] if block_id == 0 else False
+        down_t = bb.DOWNSAMPLING_TEMPORAL[stage_id] if block_id == 0 else False
+        stride = ((2, 2, 2) if down_t else (1, 2, 2)) if down else (1, 1, 1)
+        return dict(
+            dim_in=dim_in, num_filters=self.filters[stage_id],
+            kernel_size=self.kernels[stage_id], stride=stride,
+            transformation="bottleneck" if bb.DEPTH > 34 else "simple_block",
+            expansion_ratio=bb.get("EXPANSION_RATIO", 4),
+            temporal_conv_bottleneck=self.tcb[stage_id],
+            branch_cfg=bb.BRANCH)
+
+
+class _PathwayStage(nn.Module):
+    """A res-stage driven by explicit per-block specs."""
+
+    specs: Any
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        from dist_tpu.models.backbones.resnet3d import BRANCH_REGISTRY as BR
+        for i, spec in enumerate(self.specs):
+            shortcut = x
+            if (spec["dim_in"] != spec["num_filters"]
+                    or spec["stride"] != (1, 1, 1)):
+                shortcut = ConvBN(spec["num_filters"], (1, 1, 1),
+                                  spec["stride"], relu=False,
+                                  name=f"res_{i + 1}_short_cut")(x, train)
+            branch = SlowfastBranch(spec, name=f"res_{i + 1}_branch")
+            x = nn.relu(shortcut + branch(x, train))
+        return x
+
+
+class FuseFastToSlow(nn.Module):
+    """Lateral connection (slowfast.py:119-155): stride-alpha temporal conv
+    on the fast stream, concatenated into the slow channels."""
+
+    cfg: Any
+    dim_in: int
+
+    @nn.compact
+    def __call__(self, x_slow, x_fast, train=True):
+        sf = self.cfg.VIDEO.BACKBONE.SLOWFAST
+        if sf.MODE != "slowfast":
+            return x_slow, x_fast
+        k = sf.KERNEL_SIZE
+        fuse = nn.Conv(self.dim_in * sf.CONV_CHANNEL_RATIO, (k, 1, 1),
+                       strides=(sf.ALPHA, 1, 1),
+                       padding=((k // 2, k // 2), (0, 0), (0, 0)),
+                       use_bias=bool(sf.get("FUSION_CONV_BIAS", False)),
+                       name="conv_f2s")(x_fast)
+        if sf.get("FUSION_BN", True):
+            fuse = nn.BatchNorm(use_running_average=not train, name="bn")(fuse)
+        if sf.get("FUSION_RELU", True):
+            fuse = nn.relu(fuse)
+        return jnp.concatenate([x_slow, fuse], axis=-1), x_fast
+
+
+class _SlowFastStem(nn.Module):
+    """DownSampleStem per pathway with pathway kernel/filters."""
+
+    kernel: Any
+    filters: int
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        x = ConvBN(self.filters, tuple(self.kernel), (1, 2, 2), name="a")(x, train)
+        return nn.max_pool(x, (1, 3, 3), strides=(1, 2, 2),
+                           padding=((0, 0), (1, 1), (1, 1)))
+
+
+@BACKBONE_REGISTRY.register()
+class Slowfast(nn.Module):
+    """(slowfast.py:14-117). Input dense video (B, T, H, W, 3); outputs
+    (slow_map, fast_map)."""
+
+    cfg: Any
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        cfg = self.cfg
+        if isinstance(x, dict):
+            x = x["video"]
+        sf = cfg.VIDEO.BACKBONE.SLOWFAST
+        mode = sf.MODE
+        if isinstance(x, (list, tuple)):
+            x_slow, x_fast = x
+        else:
+            x_fast = x
+            x_slow = x[:, ::sf.ALPHA]
+
+        slow_cfg = _PathwayCfg(cfg, 0)
+        fast_cfg = _PathwayCfg(cfg, 1)
+        blocks = _N_CONV_RESNET[cfg.VIDEO.BACKBONE.DEPTH]
+
+        if mode in ("slowfast", "slowonly"):
+            x_slow = _SlowFastStem(slow_cfg.kernels[0], slow_cfg.filters[0],
+                                   name="slow_conv1")(x_slow, train)
+        if mode in ("slowfast", "fastonly"):
+            x_fast = _SlowFastStem(fast_cfg.kernels[0], fast_cfg.filters[0],
+                                   name="fast_conv1")(x_fast, train)
+        if mode == "slowfast":
+            x_slow, x_fast = FuseFastToSlow(
+                cfg, fast_cfg.filters[0], name="fusion1")(x_slow, x_fast, train)
+
+        for stage_id, n in enumerate(blocks, start=1):
+            if mode in ("slowfast", "slowonly"):
+                specs = [slow_cfg.block_spec(stage_id, i) for i in range(n)]
+                x_slow = _PathwayStage(specs, name=f"slow_conv{stage_id + 1}")(
+                    x_slow, train)
+            if mode in ("slowfast", "fastonly"):
+                specs = [fast_cfg.block_spec(stage_id, i) for i in range(n)]
+                x_fast = _PathwayStage(specs, name=f"fast_conv{stage_id + 1}")(
+                    x_fast, train)
+            if mode == "slowfast" and stage_id < 4:
+                x_slow, x_fast = FuseFastToSlow(
+                    cfg, fast_cfg.filters[stage_id],
+                    name=f"fusion{stage_id + 1}")(x_slow, x_fast, train)
+        return {"slow": x_slow, "fast": x_fast}
+
+
+@HEAD_REGISTRY.register()
+class SlowFastHead(nn.Module):
+    """Dual-pathway pooled concat head (slowfast_head.py:14-201)."""
+
+    cfg: Any
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        cfg = self.cfg
+        mode = cfg.VIDEO.BACKBONE.SLOWFAST.MODE
+        feats = []
+        if mode in ("slowfast", "slowonly"):
+            feats.append(x["slow"].mean(axis=(1, 2, 3)))
+        if mode in ("slowfast", "fastonly"):
+            feats.append(x["fast"].mean(axis=(1, 2, 3)))
+        feat = jnp.concatenate(feats, axis=-1)
+        h = feat
+        rate = float(cfg.VIDEO.HEAD.DROPOUT_RATE or 0.0)
+        if rate > 0:
+            h = nn.Dropout(rate, deterministic=not train)(h)
+        out = nn.Dense(int(cfg.VIDEO.HEAD.NUM_CLASSES), name="out")(h)
+        if not train and cfg.VIDEO.HEAD.ACTIVATION == "softmax":
+            out = jax.nn.softmax(out.astype(jnp.float32), axis=-1)
+        return out, feat

@@ -1,0 +1,106 @@
+"""SlowFast / S3DG / VideoMAE backbone shape + behavior tests."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dist_tpu.config import load_config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE = os.path.join(REPO, "configs/pool/base.yaml")
+
+
+def _cfg(opts):
+    return load_config(BASE, opts=opts, make_output_dir=False)
+
+
+def test_slowfast_forward():
+    from dist_tpu.models.base.models import build_model
+
+    cfg = _cfg(["VIDEO.HEAD.NUM_CLASSES", "5",
+                "DATA.NUM_INPUT_FRAMES", "8",
+                "DATA.TRAIN_CROP_SIZE", "32",
+                "VIDEO.BACKBONE.META_ARCH", "Slowfast",
+                "VIDEO.BACKBONE.DEPTH", "10",
+                "VIDEO.HEAD.NAME", "SlowFastHead"])
+    bb = cfg.VIDEO.BACKBONE
+    bb.NUM_FILTERS = [32, 32, 64, 128, 256]
+    bb.NUM_OUT_FEATURES = 256
+    bb.KERNEL_SIZE = [
+        [[1, 7, 7], [1, 3, 3], [1, 3, 3], [1, 3, 3], [1, 3, 3]],
+        [[5, 7, 7], [3, 3, 3], [3, 3, 3], [3, 3, 3], [3, 3, 3]],
+    ]
+    bb.DOWNSAMPLING = [True, False, True, True, True]
+    bb.DOWNSAMPLING_TEMPORAL = [False, False, False, False, False]
+    bb.TEMPORAL_CONV_BOTTLENECK = [
+        [False, False, False, True, True],
+        [False, True, True, True, True],
+    ]
+    bb.EXPANSION_RATIO = 4
+    bb.DEPTH = 50
+    bb.cfg_dict["SLOWFAST"] = {
+        "MODE": "slowfast", "ALPHA": 4, "BETA": 8, "CONV_CHANNEL_RATIO": 2,
+        "KERNEL_SIZE": 5, "FUSION_CONV_BIAS": False, "FUSION_BN": True,
+        "FUSION_RELU": True}
+    from dist_tpu.config.config import Config
+    bb.SLOWFAST = Config(bb.cfg_dict["SLOWFAST"])
+
+    model = build_model(cfg)
+    video = jnp.zeros((2, 8, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), {"video": video})
+    preds, _ = model.apply(variables, {"video": video}, train=False)
+    assert preds.shape == (2, 5)
+
+
+def test_s3dg_forward():
+    from dist_tpu.models.base.models import build_model
+
+    cfg = _cfg(["VIDEO.HEAD.NUM_CLASSES", "5",
+                "DATA.NUM_INPUT_FRAMES", "8",
+                "DATA.TRAIN_CROP_SIZE", "64",
+                "VIDEO.BACKBONE.META_ARCH", "Inception3D",
+                "VIDEO.BACKBONE.BRANCH.NAME", "STConv3d",
+                "VIDEO.HEAD.NAME", "BaseHead"])
+    cfg.VIDEO.BACKBONE.BRANCH.GATING = True
+    model = build_model(cfg)
+    video = jnp.zeros((1, 8, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), {"video": video})
+    preds, _ = model.apply(variables, {"video": video}, train=False)
+    assert preds.shape == (1, 5)
+
+
+def test_videomae_encode_decode():
+    from dist_tpu.models.backbones.vit_video import (
+        VitVideoMAEDecoder, VitVideoMAEEncoder)
+
+    cfg = _cfg(["DATA.NUM_INPUT_FRAMES", "4",
+                "DATA.TRAIN_CROP_SIZE", "32"])
+    bb = cfg.VIDEO.BACKBONE
+    bb.NUM_FEATURES = 64
+    bb.NUM_HEADS = 2
+    bb.DEPTH = 2
+    bb.PATCH_SIZE = 16
+    bb.TUBELET_SIZE = 2
+    bb.MASK_RATIO = 0.5
+    bb.DECODER_DIM = 32
+    bb.DECODER_DEPTH = 1
+    bb.ATTN_DROPOUT = 0.0
+    bb.FF_DROPOUT = 0.0
+    bb.MLP_MULT = 4
+
+    enc = VitVideoMAEEncoder(cfg)
+    video = jnp.zeros((2, 4, 32, 32, 3), jnp.float32)
+    rngs = {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)}
+    variables = enc.init(rngs, video)
+    latent, ids_restore = enc.apply(variables, video,
+                                    rngs={"mask": jax.random.PRNGKey(2)})
+    n_total = (4 // 2) * (32 // 16) ** 2  # 8 tubelet tokens
+    assert latent.shape == (2, 4, 64)     # 50% visible
+    assert ids_restore.shape == (2, n_total)
+
+    dec = VitVideoMAEDecoder(cfg)
+    dvars = dec.init(jax.random.PRNGKey(3), latent, ids_restore)
+    recon = dec.apply(dvars, latent, ids_restore)
+    assert recon.shape == (2, n_total, 16 * 16 * 2 * 3)
