@@ -95,6 +95,13 @@ class BaseVideoDataset(abc.ABC):
         if cfg.DATA.DATASET_LABEL_TEXT.ENABLE:
             self._load_dataset_labels(cfg)
 
+        # SSL pretraining: a view generator runs in __getitem__
+        # (reference base_dataset.py:85-91,398-407)
+        self.ssl_generator = None
+        if cfg.PRETRAIN.ENABLE:
+            from dist_tpu.ssl.generator import build_ssl_generator
+            self.ssl_generator = build_ssl_generator(cfg, split)
+
     # ---- to be provided by subclasses ----
     @abc.abstractmethod
     def _get_dataset_list_name(self):
@@ -222,8 +229,17 @@ class BaseVideoDataset(abc.ABC):
         else:
             raise IOError(f"decode failed after retries at index {index}")
 
-        frames = self._transform(frames, spatial_idx, rng)
         label = int(sample_info["supervised_label"])
+        if self.ssl_generator is not None:
+            views, labels = self.ssl_generator([frames], {}, rng)
+            return {
+                "video": views,
+                "label": np.int64(label),
+                "contrastive": labels["self-supervised"]["contrastive"],
+                "index": np.int64(index),
+            }
+
+        frames = self._transform(frames, spatial_idx, rng)
 
         if (self.split == "train" and self.cfg.AUGMENTATION.get("SSV2_FLIP")
                 and rng.uniform() < 0.5):

@@ -7,3 +7,4 @@ from dist_tpu.models.backbones import video_transformer  # noqa: F401
 from dist_tpu.models.backbones import slowfast  # noqa: F401
 from dist_tpu.models.backbones import s3dg  # noqa: F401
 from dist_tpu.models.backbones import vit_video  # noqa: F401
+from dist_tpu.models.heads import contrastive  # noqa: F401

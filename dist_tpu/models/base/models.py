@@ -168,6 +168,11 @@ class VideoModel:
         ``train=True``, pass ``return_new_state=True`` to also receive the
         updated batch_stats."""
         video = inputs["video"]
+        if hasattr(video, "ndim") and video.ndim == 6:
+            # (B, n_views, T, H, W, C) -> (B*n, T, H, W, C): the SSL
+            # multi-view flatten (reference ContrastiveModel,
+            # models/base/models.py:91-104)
+            video = video.reshape((-1,) + video.shape[2:])
         mvars = {"params": variables["params"]}
         if "batch_stats" in variables:
             mvars["batch_stats"] = variables["batch_stats"]

@@ -59,12 +59,16 @@ def make_train_step(model, cfg, tx, lr_fn):
     ema_decay = (float(cfg.MODEL.EMA.DECAY)
                  if cfg.MODEL.get("EMA") and cfg.MODEL.EMA.ENABLE else None)
 
+    pretrain = bool(cfg.PRETRAIN.ENABLE)
+
     def step(state: TrainState, batch, rng):
         video = _prep_video(cfg, batch["video"])
         labels = {"supervised": batch["labels"]}
+        if pretrain and "contrastive" in batch:
+            labels["self-supervised"] = {"contrastive": batch["contrastive"]}
         rng = jax.random.fold_in(rng, state.step)
 
-        if mc is not None and mc.enabled:
+        if (not pretrain) and mc is not None and mc.enabled:
             k_mix, rng = jax.random.split(rng)
             video, labels["supervised_mixup"] = mixup_batch(
                 k_mix, video, batch["labels"], mc)
@@ -94,12 +98,17 @@ def make_train_step(model, cfg, tx, lr_fn):
                 lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
                 ema_variables, variables)
 
-        c1, c5 = topks_correct(preds, batch["labels"], (1, 5))
-        n = preds.shape[0]
+        if pretrain or isinstance(preds, dict):
+            top1_err = top5_err = jnp.float32(0.0)
+        else:
+            c1, c5 = topks_correct(preds, batch["labels"], (1, 5))
+            n = preds.shape[0]
+            top1_err = (1.0 - c1 / n) * 100.0
+            top5_err = (1.0 - c5 / n) * 100.0
         metrics = {
             "loss": loss,
-            "top1_err": (1.0 - c1 / n) * 100.0,
-            "top5_err": (1.0 - c5 / n) * 100.0,
+            "top1_err": top1_err,
+            "top5_err": top5_err,
             "lr": lr_fn(state.step),
             **parts,
         }

@@ -1,0 +1,115 @@
+"""SSL path: contrastive losses numerics + a HiCo pretrain train step."""
+
+import os
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from dist_tpu.config import load_config
+from dist_tpu.config.config import Config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ssl_cfg():
+    cfg = load_config(os.path.join(REPO, "configs/pool/base.yaml"),
+                      make_output_dir=False)
+    cfg.PRETRAIN = Config({
+        "ENABLE": True,
+        "GENERATOR": "ContrastiveGenerator",
+        "NUM_CLIPS_PER_VIDEO": 2,
+        "LOSS": "HiCo",
+        "LOSS_WEIGHTS": [1.0],
+        "CONTRASTIVE": {
+            "TEMPERATURE": 0.1,
+            "SIM_FUNC_POS": "linear",
+            "SIM_FUNC_NEG": "linear",
+            "POS_OPTIM_TARGET": None,
+            "INS_MIL": False,
+            "WITH_ONE": True,
+            "HEAD_MID_DIM": 32,
+            "HEAD_OUT_DIM": 16,
+            "HEAD_BN": False,
+            "FINAL_BN": False,
+        },
+    })
+    cfg.HICO = Config({"LOSS": {"GAMA": 2.0, "VCL_WEIGHT": 1.0,
+                                "TCL_WEIGHT": 1.0}})
+    return cfg
+
+
+def test_instance_discrimination_matches_torch():
+    """NT-Xent parity against a direct torch computation of the reference
+    formula (contrastive_losses.py:38-65)."""
+    from dist_tpu.optim.contrastive import contrastive_instance_discrimination
+
+    cfg = _ssl_cfg()
+    B, s, d = 3, 2, 8
+    rng = np.random.default_rng(0)
+    z = rng.standard_normal((B * s, d)).astype(np.float32)
+    z = z / np.linalg.norm(z, axis=1, keepdims=True)
+
+    loss, pos, neg = contrastive_instance_discrimination(
+        cfg, jnp.asarray(z), B, s)
+
+    # torch golden (boolean-indexing formulation)
+    t = torch.from_numpy(z)
+    sim = t @ t.T
+    temp = 0.1
+    pos_mtx = torch.exp(sim / temp)
+    neg_mtx = torch.exp(sim / temp)
+    mask_ins = torch.eye(B).repeat_interleave(s, 1).repeat_interleave(s, 0)
+    pos_mask = 1 - torch.eye(B * s)
+    pos_t = pos_mtx[(mask_ins * pos_mask) != 0].reshape(-1, s - 1)
+    neg_t = ((1 - mask_ins) * neg_mtx).sum(0).unsqueeze(1)
+    n = pos_t.shape[1]
+    loss_t = -((1 / n) * torch.log(pos_t / (pos_t + neg_t)).sum()) / (B * s)
+    np.testing.assert_allclose(float(loss), float(loss_t), rtol=1e-5)
+
+
+def test_hico_pretrain_step():
+    """Full SSL train step: tiny R2+1D + ContrastiveHeadTopicPred + HiCo."""
+    from dist_tpu.models.base.models import build_model
+    from dist_tpu.optim.optimizer import construct_optimizer
+    from dist_tpu.tasks.state import create_train_state, make_train_step
+
+    cfg = _ssl_cfg()
+    cfg.VIDEO.BACKBONE.META_ARCH = "ResNet3D"
+    cfg.VIDEO.BACKBONE.DEPTH = 10
+    cfg.VIDEO.BACKBONE.NUM_FILTERS = [16, 16, 32, 32, 32]
+    cfg.VIDEO.BACKBONE.NUM_OUT_FEATURES = 32
+    cfg.VIDEO.BACKBONE.KERNEL_SIZE = [[3, 7, 7]] + [[3, 3, 3]] * 4
+    cfg.VIDEO.BACKBONE.DOWNSAMPLING = [True, False, True, True, True]
+    cfg.VIDEO.BACKBONE.DOWNSAMPLING_TEMPORAL = [False, False, True, True, True]
+    cfg.VIDEO.BACKBONE.BRANCH.NAME = "R2Plus1DBranch"
+    cfg.VIDEO.BACKBONE.STEM.NAME = "R2Plus1DStem"
+    cfg.VIDEO.HEAD.NAME = "ContrastiveHeadTopicPred"
+    cfg.VIDEO.HEAD.NUM_CLASSES = 0
+    cfg.DATA.NUM_INPUT_FRAMES = 4
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.OPTIMIZER.OPTIM_METHOD = "sgd"
+
+    model = build_model(cfg)
+    B, n = 2, 2
+    video = jax.random.normal(jax.random.PRNGKey(0), (B, n, 4, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(1),
+                           {"video": video.reshape(B * n, 4, 32, 32, 3)})
+    assert "head" in variables
+    tx, lr_fn = construct_optimizer(cfg, variables, steps_per_epoch=10)
+    state = create_train_state(variables, tx)
+    step = jax.jit(make_train_step(model, cfg, tx, lr_fn))
+    batch = {
+        "video": video,
+        "labels": jnp.zeros((B,), jnp.int32),
+        "contrastive": jnp.tile(jnp.arange(n), (B, 1)),
+    }
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    assert "vcl_loss_debug" in metrics and "tcl_loss_debug" in metrics
+    # head params actually moved
+    before = jax.tree_util.tree_leaves(state.variables["head"])[0]
+    after = jax.tree_util.tree_leaves(new_state.variables["head"])[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
