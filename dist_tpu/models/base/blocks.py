@@ -67,6 +67,8 @@ class MultiheadAttention(nn.Module):
 
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    causal: bool = False
+    fused: bool = True  # Pallas fused attention on TPU for self-attention
 
     @nn.compact
     def __call__(self, query, key_value=None, mask: Optional[jax.Array] = None):
@@ -86,6 +88,12 @@ class MultiheadAttention(nn.Module):
         if key_value is None:
             # self-attention: one fused (B, L, 3D) matmul for the MXU
             qkv = query @ w_in + b_in
+            if self.fused and mask is None:
+                # Pallas kernel consumes the fused projection directly
+                from dist_tpu.ops.attention import fused_attention_qkv
+                out = fused_attention_qkv(qkv, self.num_heads, self.causal)
+                return nn.Dense(dim, dtype=self.dtype,
+                                param_dtype=jnp.float32, name="out_proj")(out)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
             wq, wk, wv = jnp.split(w_in, 3, axis=1)
@@ -101,11 +109,17 @@ class MultiheadAttention(nn.Module):
         q, k, v = split_heads(q), split_heads(k), split_heads(v)
         scale = head_dim ** -0.5
         logits = jnp.einsum(
-            "blhd,bmhd->bhlm", q * scale, k, preferred_element_type=jnp.float32
+            "blhd,bmhd->bhlm", q * scale, k,
+            preferred_element_type=jnp.float32
         )
+        if self.causal:
+            l = query.shape[1]
+            cmask = jnp.triu(jnp.full((l, l), -jnp.inf, jnp.float32), k=1)
+            logits = logits + cmask[None, None]
         if mask is not None:
             logits = logits + mask
-        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        weights = jax.nn.softmax(
+            logits.astype(jnp.float32), axis=-1).astype(self.dtype)
         out = jnp.einsum("bhlm,bmhd->blhd", weights, v)
         out = out.reshape(out.shape[0], out.shape[1], dim)
         out = nn.Dense(
@@ -144,14 +158,9 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        mask = None
-        if self.causal:
-            l = x.shape[1]
-            mask = jnp.triu(jnp.full((l, l), -jnp.inf, dtype=jnp.float32), k=1)
-            mask = mask[None, None, :, :]
         x = x + MultiheadAttention(
-            self.num_heads, dtype=self.dtype, name="attn"
-        )(LayerNorm(name="ln_1")(x), mask=mask)
+            self.num_heads, dtype=self.dtype, causal=self.causal, name="attn"
+        )(LayerNorm(name="ln_1")(x))
         dim = x.shape[-1]
         x = x + MLP(dim * 4, dim, dtype=self.dtype, name="mlp")(
             LayerNorm(name="ln_2")(x)
