@@ -1,0 +1,94 @@
+"""Temporal action detection evaluation: interpolated mAP at tIoU
+thresholds (reference utils/eval_tal/eval_epic_detection.py:17-374 and
+eval_tal.py:12-23; the standard ActivityNet detection protocol).
+
+Ground truth / predictions are plain dicts:
+    gt:   {video_id: [{"t_start", "t_end", "label"}, ...]}
+    pred: {video_id: [{"t_start", "t_end", "label", "score"}, ...]}
+"""
+
+import numpy as np
+
+from dist_tpu.tal.bboxes_1d import iou_with_anchors
+from dist_tpu.utils import logging
+
+logger = logging.get_logger(__name__)
+
+
+def interpolated_ap(precision, recall):
+    """All-point interpolated AP (ActivityNet style)."""
+    mrec = np.concatenate([[0.0], recall, [1.0]])
+    mpre = np.concatenate([[0.0], precision, [0.0]])
+    for i in range(len(mpre) - 1, 0, -1):
+        mpre[i - 1] = max(mpre[i - 1], mpre[i])
+    idx = np.where(mrec[1:] != mrec[:-1])[0] + 1
+    return float(np.sum((mrec[idx] - mrec[idx - 1]) * mpre[idx]))
+
+
+def _ap_for_class(gt_by_video, preds, tiou):
+    """preds: list of (video_id, t_start, t_end, score), sorted by score."""
+    npos = sum(len(v) for v in gt_by_video.values())
+    if npos == 0:
+        return np.nan
+    matched = {vid: np.zeros(len(segs), bool) for vid, segs in gt_by_video.items()}
+    tp = np.zeros(len(preds))
+    fp = np.zeros(len(preds))
+    for i, (vid, ts, te, _) in enumerate(preds):
+        segs = gt_by_video.get(vid)
+        if not segs:
+            fp[i] = 1
+            continue
+        starts = np.asarray([s[0] for s in segs])
+        ends = np.asarray([s[1] for s in segs])
+        ious = iou_with_anchors(starts, ends, ts, te)
+        j = int(np.argmax(ious))
+        if ious[j] >= tiou and not matched[vid][j]:
+            tp[i] = 1
+            matched[vid][j] = True
+        else:
+            fp[i] = 1
+    tp_cum = np.cumsum(tp)
+    fp_cum = np.cumsum(fp)
+    recall = tp_cum / npos
+    precision = tp_cum / np.maximum(tp_cum + fp_cum, 1e-8)
+    return interpolated_ap(precision, recall)
+
+
+def evaluate_detection(ground_truth, predictions,
+                       tiou_thresholds=np.linspace(0.5, 0.95, 10)):
+    """mAP over classes and tIoU thresholds
+    (reference eval_tal.py:12-23). Returns {"mAP": float,
+    "mAP_per_tiou": [...], "tiou_thresholds": [...]}."""
+    labels = set()
+    for segs in ground_truth.values():
+        labels.update(s["label"] for s in segs)
+
+    gt_by_label = {lab: {} for lab in labels}
+    for vid, segs in ground_truth.items():
+        for s in segs:
+            gt_by_label[s["label"]].setdefault(vid, []).append(
+                (s["t_start"], s["t_end"]))
+
+    pred_by_label = {lab: [] for lab in labels}
+    for vid, segs in predictions.items():
+        for s in segs:
+            if s["label"] in pred_by_label:
+                pred_by_label[s["label"]].append(
+                    (vid, s["t_start"], s["t_end"], s["score"]))
+    for lab in pred_by_label:
+        pred_by_label[lab].sort(key=lambda x: -x[3])
+
+    ap = np.zeros((len(tiou_thresholds), len(labels)))
+    for li, lab in enumerate(sorted(labels)):
+        for ti, tiou in enumerate(tiou_thresholds):
+            ap[ti, li] = _ap_for_class(gt_by_label[lab], pred_by_label[lab], tiou)
+
+    map_per_tiou = np.nanmean(ap, axis=1)
+    result = {
+        "mAP": float(np.nanmean(map_per_tiou)),
+        "mAP_per_tiou": [float(x) for x in map_per_tiou],
+        "tiou_thresholds": [float(t) for t in tiou_thresholds],
+    }
+    logger.info("Detection mAP: %.4f (per-tIoU: %s)", result["mAP"],
+                ["%.3f" % x for x in map_per_tiou])
+    return result

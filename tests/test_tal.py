@@ -1,0 +1,51 @@
+"""TAL utilities: IoU math, soft-NMS behavior, detection mAP."""
+
+import numpy as np
+
+from dist_tpu.tal.bboxes_1d import ioa_with_anchors, iou_with_anchors
+from dist_tpu.tal.eval import evaluate_detection
+from dist_tpu.tal.tools import fuse_verb_noun_scores, soft_nms
+
+
+def test_iou_math():
+    np.testing.assert_allclose(
+        iou_with_anchors(np.array([0.0]), np.array([1.0]), 0.5, 1.5),
+        [1.0 / 3.0], atol=1e-6)
+    np.testing.assert_allclose(
+        ioa_with_anchors(np.array([0.0]), np.array([1.0]), 0.5, 1.5),
+        [0.5], atol=1e-6)
+
+
+def test_soft_nms_suppresses_overlaps():
+    # two near-identical proposals and one disjoint; keep order by score,
+    # decay the duplicate
+    xmin = [0.0, 0.01, 5.0]
+    xmax = [1.0, 1.01, 6.0]
+    score = [0.9, 0.85, 0.5]
+    rs, re, rsc, ri = soft_nms(xmin, xmax, score, alpha=0.4, t1=0.0, t2=0.0,
+                               prop_num=3)
+    # the loop stops when one proposal remains (reference semantics,
+    # tal_tools.py:268): 2 of 3 selected, best first
+    assert len(ri) == 2 and ri[0] == 0
+    # the overlapping duplicate was decayed below the disjoint proposal,
+    # so the disjoint one is picked second
+    assert ri[1] == 2
+
+
+def test_fuse_verb_noun():
+    v = np.array([[0.9, 0.1]])
+    n = np.array([[0.2, 0.8]])
+    vi, ni, s = fuse_verb_noun_scores(v, n, top_k=2)
+    assert vi[0, 0] == 0 and ni[0, 0] == 1
+    np.testing.assert_allclose(s[0, 0], 0.72, atol=1e-6)
+
+
+def test_detection_map_perfect_and_empty():
+    gt = {"v1": [{"t_start": 0.0, "t_end": 1.0, "label": "a"}],
+          "v2": [{"t_start": 2.0, "t_end": 3.0, "label": "a"}]}
+    pred_perfect = {"v1": [{"t_start": 0.0, "t_end": 1.0, "label": "a", "score": 0.9}],
+                    "v2": [{"t_start": 2.0, "t_end": 3.0, "label": "a", "score": 0.8}]}
+    res = evaluate_detection(gt, pred_perfect, tiou_thresholds=[0.5])
+    assert res["mAP"] == 1.0
+    res = evaluate_detection(gt, {}, tiou_thresholds=[0.5])
+    assert res["mAP"] == 0.0
