@@ -89,6 +89,8 @@ class BaseVideoDataset(abc.ABC):
 
         self._num_frames = cfg.DATA.NUM_INPUT_FRAMES
         self._sampling_rate = cfg.DATA.SAMPLING_RATE
+        self._rand_augment = None
+        self._random_erasing = None
         self._construct_dataset(cfg)
 
         self.text_tokens = None
@@ -194,7 +196,14 @@ class BaseVideoDataset(abc.ABC):
             else:
                 frames = transforms.kinetics_resized_crop_random(
                     frames, scales, cfg.DATA.TRAIN_CROP_SIZE, rng=rng)
-            if cfg.AUGMENTATION.COLOR_AUG:
+            if cfg.AUGMENTATION.AUTOAUGMENT.ENABLE:
+                from dist_tpu.data.rand_augment import create_auto_augmentation
+                if self._rand_augment is None:
+                    self._rand_augment = create_auto_augmentation(
+                        cfg.AUGMENTATION.AUTOAUGMENT.TYPE,
+                        cfg.DATA.TRAIN_CROP_SIZE)
+                frames = self._rand_augment(frames, rng)
+            elif cfg.AUGMENTATION.COLOR_AUG:
                 frames = transforms.color_jitter_clip(
                     frames, rng,
                     brightness=cfg.AUGMENTATION.BRIGHTNESS,
@@ -203,6 +212,16 @@ class BaseVideoDataset(abc.ABC):
                     hue=cfg.AUGMENTATION.HUE,
                     grayscale=cfg.AUGMENTATION.GRAYSCALE,
                     p=float(cfg.AUGMENTATION.get("COLOR_JITTER_P", 1.0) or 0.0))
+            if cfg.AUGMENTATION.RANDOM_ERASING.ENABLE:
+                from dist_tpu.data.rand_augment import RandomErasing
+                if self._random_erasing is None:
+                    re_cfg = cfg.AUGMENTATION.RANDOM_ERASING
+                    self._random_erasing = RandomErasing(
+                        prob=float(re_cfg.PROB), mode=re_cfg.MODE,
+                        count=tuple(re_cfg.COUNT),
+                        area_range=tuple(re_cfg.AREA_RANGE),
+                        min_aspect=float(re_cfg.MIN_ASPECT))
+                frames = self._random_erasing(frames, rng)
         else:
             frames = transforms.kinetics_resized_crop_controlled(
                 frames, cfg.DATA.TEST_SCALE, cfg.DATA.TEST_CROP_SIZE,

@@ -1,0 +1,59 @@
+"""RandAugment / RandomErasing / mixup behavior tests."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dist_tpu.data.rand_augment import (
+    RandAugment,
+    RandomErasing,
+    create_auto_augmentation,
+)
+from dist_tpu.data.mixup import MixupConfig, mixup_batch
+
+
+def test_randaugment_factory_parse():
+    ra = create_auto_augmentation("rand-m7-n4-mstd0.5-inc1")
+    assert ra.magnitude == 7 and ra.num_ops == 4 and ra.mag_std == 0.5
+    ra = create_auto_augmentation("rand-m9-mstd0.5-inc1")
+    assert ra.magnitude == 9 and ra.num_ops == 2
+
+
+def test_randaugment_applies():
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+    out = RandAugment(magnitude=9, num_ops=2)(frames, rng)
+    assert out.shape == frames.shape and out.dtype == np.uint8
+
+
+def test_random_erasing_erases():
+    rng = np.random.default_rng(0)
+    frames = np.full((2, 32, 32, 3), 128, np.uint8)
+    out = RandomErasing(prob=1.0, mode="const")(frames, rng)
+    assert (out == 0).any()
+    # prob=0 leaves input untouched
+    out2 = RandomErasing(prob=0.0)(frames, rng)
+    np.testing.assert_array_equal(out2, frames)
+
+
+def test_mixup_batch_targets_sum_to_one():
+    mc = MixupConfig(mixup_alpha=0.8, cutmix_alpha=1.0, num_classes=10,
+                     smoothing=0.1)
+    video = jnp.ones((4, 2, 8, 8, 3))
+    labels = jnp.arange(4)
+    mixed, target = mixup_batch(jax.random.PRNGKey(0), video, labels, mc)
+    assert mixed.shape == video.shape
+    np.testing.assert_allclose(np.asarray(target.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_mixup_lam_correction_bounds():
+    mc = MixupConfig(mixup_alpha=0.0, cutmix_alpha=1.0, num_classes=5,
+                     smoothing=0.0, switch_prob=1.0)
+    video = jnp.stack([jnp.zeros((2, 16, 16, 3)), jnp.ones((2, 16, 16, 3))])
+    labels = jnp.asarray([0, 1])
+    mixed, target = mixup_batch(jax.random.PRNGKey(3), video, labels, mc)
+    # cutmix replaced a box of item0 with item1's pixels: fraction of ones
+    # in mixed[0] equals 1 - lam = target weight on label 1
+    frac = float(np.asarray(mixed[0]).mean())
+    np.testing.assert_allclose(float(target[0, 1]), frac, atol=1e-5)
