@@ -127,6 +127,11 @@ def make_eval_step(model, cfg, use_ema=False):
         inputs = {"video": _prep_video(cfg, batch["video"]),
                   "text_features": batch.get("text_features")}
         preds, _ = model.apply(variables, inputs, train=False)
+        if isinstance(preds, dict):
+            # EPIC dual-head path: top-k handled by the EpicKitchenMeter
+            return {"preds": preds,
+                    "top1_err": jnp.float32(0.0),
+                    "top5_err": jnp.float32(0.0)}
         c1, c5 = topks_correct(preds, batch["labels"], (1, 5))
         n = preds.shape[0]
         return {

@@ -50,9 +50,15 @@ def test(cfg):
     assert len(dataset) % num_views == 0, (
         f"dataset size {len(dataset)} not divisible by views {num_views}")
     num_videos = len(dataset) // num_views
-    num_cls = int(cfg.VIDEO.HEAD.NUM_CLASSES)
-    meter = TestMeter(num_videos, num_views, num_cls, cfg,
-                      ensemble_method=cfg.DATA.ENSEMBLE_METHOD)
+    nc = cfg.VIDEO.HEAD.NUM_CLASSES
+    if isinstance(nc, (list, tuple)):
+        # EPIC verb/noun joint evaluation (reference runs/test.py:229-248)
+        from dist_tpu.utils.meters import EpicKitchenMeter
+        meter = EpicKitchenMeter(num_videos, num_views, tuple(nc), cfg,
+                                 ensemble_method=cfg.DATA.ENSEMBLE_METHOD)
+    else:
+        meter = TestMeter(num_videos, num_views, int(nc), cfg,
+                          ensemble_method=cfg.DATA.ENSEMBLE_METHOD)
 
     first_batch = next(iter(loader))
     state = _init_test_state(cfg, model, first_batch)
@@ -82,8 +88,17 @@ def perform_test(cfg, mesh, state, eval_step, loader, meter, text_features):
         if text_features is not None:
             device_batch["text_features"] = text_features
         metrics = eval_step(state, device_batch)
-        preds = np.asarray(jax.device_get(metrics["preds"]))
-        labels, ids = batch["label"], batch["index"]
+        preds = jax.device_get(metrics["preds"])
+        ids = batch["index"]
+        if isinstance(preds, dict):
+            # EPIC dual-head: labels arrive as separate verb/noun columns
+            labels = {"verb_class": batch.get("label_verb", batch["label"]),
+                      "noun_class": batch.get("label_noun", batch["label"])}
+            meter.update_stats({k: np.asarray(v) for k, v in preds.items()},
+                               labels, ids)
+            continue
+        preds = np.asarray(preds)
+        labels = batch["label"]
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
             preds, labels, ids = map(

@@ -87,6 +87,9 @@ def train(cfg):
         train_step = jax.jit(make_train_step(model, cfg, tx, lr_fn),
                              donate_argnums=(0,) if cfg.TPU.DONATE_STATE else ())
         eval_step = jax.jit(make_eval_step(model, cfg))
+        ema_enabled = bool(cfg.MODEL.get("EMA") and cfg.MODEL.EMA.ENABLE)
+        ema_eval_step = (jax.jit(make_eval_step(model, cfg, use_ema=True))
+                         if ema_enabled else None)
 
         rng = jax.random.PRNGKey(int(cfg.RANDOM_SEED) + 1)
         num_folds = int(cfg.TRAIN.get("NUM_FOLDS", 1))
@@ -102,6 +105,13 @@ def train(cfg):
             if misc.is_eval_epoch(cfg, cur_epoch):
                 eval_epoch(cfg, mesh, state, eval_step, val_loader, val_meter,
                            cur_epoch, text_features)
+                if ema_eval_step is not None:
+                    # also evaluate the EMA weights (reference
+                    # runs/train.py:419-422; the reference's EMA was dead
+                    # code — implemented properly here)
+                    logger.info("Evaluating EMA model.")
+                    eval_epoch(cfg, mesh, state, ema_eval_step, val_loader,
+                               val_meter, cur_epoch, text_features)
     return state
 
 

@@ -191,6 +191,77 @@ class ValMeter:
         return stats
 
 
+class EpicKitchenMeter:
+    """EPIC-KITCHENS verb/noun/action multi-view meter
+    (reference utils/meters.py:178-468): per-video score ensembling of the
+    verb and noun heads plus the joint action = outer product of per-clip
+    softmaxes; final top-1/top-5 for verb, noun, and action."""
+
+    def __init__(self, num_videos, num_clips, num_cls, cfg,
+                 ensemble_method="sum"):
+        assert ensemble_method in ("sum", "max")
+        self.cfg = cfg
+        self.num_clips = num_clips
+        self.ensemble_method = ensemble_method
+        self.num_cls = tuple(num_cls)
+        self.video_preds = {
+            "verb_class": np.zeros((num_videos, num_cls[0]), np.float64),
+            "noun_class": np.zeros((num_videos, num_cls[1]), np.float64),
+            "action": np.zeros((num_videos, num_cls[0] * num_cls[1]),
+                               np.float64),
+        }
+        self.video_labels = {
+            "verb_class": np.zeros((num_videos,), np.int64),
+            "noun_class": np.zeros((num_videos,), np.int64),
+        }
+        self.clip_count = np.zeros((num_videos,), np.int64)
+        self.stats = {}
+
+    def reset(self):
+        for v in self.video_preds.values():
+            v[:] = 0
+        self.clip_count[:] = 0
+
+    def update_stats(self, preds, labels, clip_ids):
+        """preds: {"verb_class": (N, V), "noun_class": (N, Nn)} softmax
+        scores; labels: {"verb_class": (N,), "noun_class": (N,)}."""
+        verb = np.asarray(preds["verb_class"])
+        noun = np.asarray(preds["noun_class"])
+        clip_ids = np.asarray(clip_ids)
+        action = (verb[:, :, None] * noun[:, None, :]).reshape(verb.shape[0], -1)
+        for i in range(verb.shape[0]):
+            vid = int(clip_ids[i]) // self.num_clips
+            if self.clip_count[vid] == 0:
+                self.video_labels["verb_class"][vid] = labels["verb_class"][i]
+                self.video_labels["noun_class"][vid] = labels["noun_class"][i]
+            for key, scores in (("verb_class", verb[i]), ("noun_class", noun[i]),
+                                ("action", action[i])):
+                if self.ensemble_method == "sum":
+                    self.video_preds[key][vid] += scores
+                else:
+                    self.video_preds[key][vid] = np.maximum(
+                        self.video_preds[key][vid], scores)
+            self.clip_count[vid] += 1
+
+    def finalize_metrics(self, ks=(1, 5)):
+        stats = {"_type": "test_final_epic"}
+        action_labels = (self.video_labels["verb_class"] * self.num_cls[1]
+                         + self.video_labels["noun_class"])
+        for name, preds, labels in (
+                ("verb", self.video_preds["verb_class"],
+                 self.video_labels["verb_class"]),
+                ("noun", self.video_preds["noun_class"],
+                 self.video_labels["noun_class"]),
+                ("action", self.video_preds["action"], action_labels)):
+            order = np.argsort(-preds, axis=1)
+            for k in ks:
+                correct = (order[:, :k] == labels[:, None]).any(axis=1)
+                stats[f"{name}_top{k}_acc"] = f"{100.0 * correct.mean():.2f}"
+        self.stats = stats
+        logging.log_json_stats(stats)
+        return stats
+
+
 class TestMeter:
     """Multi-view ensembling test meter (utils/meters.py:24-176)."""
 

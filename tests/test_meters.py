@@ -1,0 +1,56 @@
+"""Meter tests vs hand-computed values (SURVEY section 4's test pyramid)."""
+
+import os
+
+import numpy as np
+
+from dist_tpu.config import load_config
+from dist_tpu.utils.meters import EpicKitchenMeter, ScalarMeter, TestMeter
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _cfg():
+    return load_config(os.path.join(REPO, "configs/pool/base.yaml"),
+                       make_output_dir=False)
+
+
+def test_scalar_meter_window():
+    m = ScalarMeter(window_size=3)
+    for v in (1.0, 2.0, 3.0, 4.0):
+        m.add_value(v)
+    assert m.get_win_median() == 3.0
+    assert m.get_global_avg() == 2.5
+
+
+def test_testmeter_multiview_ensemble():
+    """2 videos x 3 views: per-video summed scores decide top-1."""
+    m = TestMeter(num_videos=2, num_clips=3, num_cls=4, cfg=_cfg())
+    # video 0 (ids 0..2): class 1 wins on aggregate; video 1 (ids 3..5): class 2
+    preds = np.array([
+        [0.1, 0.6, 0.2, 0.1],
+        [0.2, 0.5, 0.2, 0.1],
+        [0.5, 0.3, 0.1, 0.1],   # an off view; sum still favors class 1
+        [0.1, 0.1, 0.7, 0.1],
+        [0.1, 0.2, 0.6, 0.1],
+        [0.1, 0.1, 0.5, 0.3],
+    ])
+    labels = np.array([1, 1, 1, 2, 2, 2])
+    ids = np.arange(6)
+    m.update_stats(preds, labels, ids)
+    stats = m.finalize_metrics(ks=(1,))
+    assert stats["top1_acc"] == "100.00"
+    assert (m.clip_count == 3).all()
+
+
+def test_epic_meter_joint_action():
+    m = EpicKitchenMeter(num_videos=1, num_clips=2, num_cls=(3, 4), cfg=_cfg())
+    verb = np.array([[0.7, 0.2, 0.1], [0.6, 0.3, 0.1]])
+    noun = np.array([[0.1, 0.8, 0.05, 0.05], [0.2, 0.7, 0.05, 0.05]])
+    labels = {"verb_class": np.array([0, 0]), "noun_class": np.array([1, 1])}
+    m.update_stats({"verb_class": verb, "noun_class": noun}, labels,
+                   np.array([0, 1]))
+    stats = m.finalize_metrics(ks=(1,))
+    assert stats["verb_top1_acc"] == "100.00"
+    assert stats["noun_top1_acc"] == "100.00"
+    assert stats["action_top1_acc"] == "100.00"
