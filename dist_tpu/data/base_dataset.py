@@ -248,9 +248,11 @@ class BaseVideoDataset(abc.ABC):
         else:
             raise IOError(f"decode failed after retries at index {index}")
 
-        label = int(sample_info["supervised_label"])
+        label = int(sample_info["supervised_label"]) \
+            if not isinstance(sample_info["supervised_label"], dict) else 0
         if self.ssl_generator is not None:
-            views, labels = self.ssl_generator([frames], {}, rng)
+            frames_list = frames if isinstance(frames, list) else [frames]
+            views, labels = self.ssl_generator(frames_list, {}, rng)
             return {
                 "video": views,
                 "label": np.int64(label),

@@ -221,6 +221,12 @@ def build_head(cfg):
         return cls(num_classes=tuple(nc), **common)
     if cls in (BaseHead, ClipVideoHeadLinear):
         return cls(num_classes=int(nc or 0), **common)
+    if name == "TransformerHead":
+        return cls(num_classes=int(nc or 0),
+                   pre_logits=bool(cfg.VIDEO.HEAD.get("PRE_LOGITS", False)),
+                   **common)
+    if name == "TransformerHeadx2":
+        return cls(num_classes=tuple(nc), **common)
     return cls(cfg=cfg)
 
 

@@ -98,6 +98,11 @@ def train(cfg):
 
         for cur_epoch in range(start_epoch, cfg.OPTIMIZER.MAX_EPOCH, num_folds):
             shuffle_dataset(train_loader, cur_epoch)
+            if hasattr(train_loader.dataset, "set_epoch_rate"):
+                # explicit curriculum progress (replaces the reference's
+                # ./current_epoch/ filesystem IPC, runs/train.py:29-37)
+                train_loader.dataset.set_epoch_rate(
+                    cur_epoch / max(float(cfg.OPTIMIZER.MAX_EPOCH), 1.0))
             state = train_epoch(cfg, mesh, state, train_step, train_loader,
                                 train_meter, cur_epoch, rng, text_features)
             if cu.is_checkpoint_epoch(cfg, cur_epoch):
