@@ -32,6 +32,25 @@ DATASET_REGISTRY = Registry("Dataset")
 SSV2_FLIP_LABEL_MAP = {86: 87, 87: 86, 93: 94, 94: 93, 166: 167, 167: 166}
 
 
+def read_video(path, frame_indices):
+    """Decode the given frame indices: native C++ decoder (libavcodec,
+    native/videodec.cpp — the decord replacement) when built, OpenCV
+    otherwise. Returns (T,H,W,3) RGB uint8."""
+    from dist_tpu.data import native_decoder
+    if native_decoder.available():
+        return native_decoder.decode(path, np.asarray(frame_indices))
+    return read_video_cv2(path, frame_indices)
+
+
+def probe_video(path):
+    """(num_frames, fps) via the native decoder or OpenCV."""
+    from dist_tpu.data import native_decoder
+    if native_decoder.available():
+        n, fps, _, _ = native_decoder.probe(path)
+        return n, fps
+    return probe_video_cv2(path)
+
+
 def read_video_cv2(path, frame_indices):
     """Decode the given frame indices with OpenCV; returns (T,H,W,3) RGB
     uint8. Sequential scan (cheap for the densely-sampled clips we use)."""
@@ -162,12 +181,12 @@ class BaseVideoDataset(abc.ABC):
     # ---- decode ----
     def _decode_video(self, sample_info, index, rng):
         clip_idx, spatial_idx = self._view_indices(index)
-        num_frames, fps = probe_video_cv2(sample_info["path"])
+        num_frames, fps = probe_video(sample_info["path"])
         indices = sampling.get_frame_indices(
             self.cfg, num_frames, fps, clip_idx,
             self.cfg.TEST.NUM_ENSEMBLE_VIEWS, rng=rng,
             random_sample=(self.split == "train"))
-        frames = read_video_cv2(sample_info["path"], indices)
+        frames = read_video(sample_info["path"], indices)
         return frames, spatial_idx
 
     def _view_indices(self, index):
