@@ -3,6 +3,7 @@
 from dist_tpu.models.base import models  # noqa: F401
 from dist_tpu.models.backbones import resnet3d  # noqa: F401
 from dist_tpu.models.branches import tada  # noqa: F401
+from dist_tpu.models.branches import tada_convnext  # noqa: F401
 from dist_tpu.models.backbones import video_transformer  # noqa: F401
 from dist_tpu.models.backbones import slowfast  # noqa: F401
 from dist_tpu.models.backbones import s3dg  # noqa: F401

@@ -104,3 +104,30 @@ def test_videomae_encode_decode():
     dvars = dec.init(jax.random.PRNGKey(3), latent, ids_restore)
     recon = dec.apply(dvars, latent, ids_restore)
     assert recon.shape == (2, n_total, 16 * 16 * 2 * 3)
+
+
+def test_tada_convnext_forward():
+    from dist_tpu.models.base.models import build_model
+
+    cfg = _cfg(["VIDEO.HEAD.NUM_CLASSES", "5",
+                "DATA.NUM_INPUT_FRAMES", "4",
+                "DATA.TRAIN_CROP_SIZE", "32",
+                "VIDEO.BACKBONE.META_ARCH", "ConvNeXt",
+                "VIDEO.HEAD.NAME", "BaseHead"])
+    bb = cfg.VIDEO.BACKBONE
+    bb.DEPTH = [1, 1, 1, 1]
+    bb.NUM_FILTERS = [16, 32, 64, 128]
+    bb.NUM_OUT_FEATURES = 128
+    bb.DROP_PATH = 0.1
+    bb.LARGE_SCALE_INIT_VALUE = 1e-6
+    bb.STEM.T_KERNEL_SIZE = 3
+    bb.BRANCH.NAME = "TAdaConvNeXtBlockAvgPoolGELU"
+    bb.BRANCH.ROUTE_FUNC_K = [3, 3]
+    bb.BRANCH.ROUTE_FUNC_R = 4
+    bb.BRANCH.ROUTE_FUNC_TYPE = "normal"
+
+    model = build_model(cfg)
+    video = jnp.zeros((2, 4, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), {"video": video})
+    preds, _ = model.apply(variables, {"video": video}, train=False)
+    assert preds.shape == (2, 5)
