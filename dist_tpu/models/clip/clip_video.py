@@ -50,6 +50,10 @@ class CLIPDiSTModel(nn.Module):
     sparse_alpha: int = 1
     freeze_visual: bool = True
     freeze_text: bool = True
+    # zero-shot / prediction fusion (clip.py:519-527): blend the DiST
+    # classifier with the frozen CLIP frame-embedding classifier
+    prediction_fusion: bool = False
+    fusion_weight: float = 0.5
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -114,6 +118,15 @@ class CLIPDiSTModel(nn.Module):
         tf = tf / jnp.maximum(jnp.linalg.norm(tf, axis=-1, keepdims=True), 1e-6)
         logit_scale = jnp.exp(self.logit_scale.astype(jnp.float32))
         logits_per_image = logit_scale * v @ tf.T
+        if self.prediction_fusion:
+            # zero-shot logits from the frozen per-frame cls embeddings,
+            # mean-pooled over frames (clip.py:519-527)
+            f = frame_cls.astype(jnp.float32)
+            f = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-6)
+            zs = (logit_scale * f @ tf.T).reshape(
+                logits_per_image.shape[0], -1, tf.shape[0]).mean(axis=1)
+            w = self.fusion_weight
+            logits_per_image = logits_per_image * w + zs * (1.0 - w)
         return {
             "logits_per_image": logits_per_image[:, None, :],
             "vid_logits": video_emb[:, None, :],
@@ -135,7 +148,9 @@ def clip_dist_from_cfg(cfg, arch: Optional[CLIPArchitecture] = None):
     dist = None
     if cfg.VIDEO.BACKBONE.get("DIST") and cfg.VIDEO.BACKBONE.DIST.ENABLE:
         dist = DiSTConfig.from_cfg(cfg)
+    zeroshot = bool(cfg.TEST.get("ZEROSHOT") and cfg.TEST.ZEROSHOT.ENABLE)
     return CLIPDiSTModel(
+        prediction_fusion=zeroshot,
         arch=arch,
         dist=dist,
         num_frames=cfg.DATA.NUM_INPUT_FRAMES,
