@@ -61,8 +61,23 @@ def make_train_step(model, cfg, tx, lr_fn):
 
     pretrain = bool(cfg.PRETRAIN.ENABLE)
 
+    use_device_aug = bool(cfg.AUGMENTATION.get("USE_GPU", False))
+
     def step(state: TrainState, batch, rng):
-        video = _prep_video(cfg, batch["video"])
+        video = batch["video"]
+        if use_device_aug and video.dtype == jnp.uint8:
+            # on-device augmentation (the reference's USE_GPU mode,
+            # base_dataset.py:390-392) fused into the step jit
+            from dist_tpu.ops.augment_device import (
+                DeviceAugConfig, device_augment)
+            k_aug, rng = jax.random.split(jax.random.fold_in(rng, state.step))
+            v01 = video.astype(jnp.float32) / 255.0
+            v01 = device_augment(k_aug, v01, DeviceAugConfig.from_cfg(cfg))
+            mean = jnp.asarray(list(cfg.DATA.MEAN), jnp.float32)
+            std = jnp.asarray(list(cfg.DATA.STD), jnp.float32)
+            video = (v01 - mean) / std
+        else:
+            video = _prep_video(cfg, video)
         labels = {"supervised": batch["labels"]}
         if pretrain and "contrastive" in batch:
             labels["self-supervised"] = {"contrastive": batch["contrastive"]}
