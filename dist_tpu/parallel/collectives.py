@@ -1,0 +1,70 @@
+"""Cross-host exchange helpers (reference utils/distributed.py).
+
+Inside jitted code there are no explicit collectives to call — metrics and
+gradients computed on globally-sharded arrays get their psums/all-gathers
+from XLA. What remains is the HOST side: gathering small per-host numpy
+results (the analog of the reference's pickled gloo ``all_gather_unaligned``,
+utils/distributed.py:145-259) and broadcasting host-side decisions.
+"""
+
+import numpy as np
+
+import jax
+
+from dist_tpu.utils import logging
+
+logger = logging.get_logger(__name__)
+
+
+def is_master_proc():
+    """(reference utils/distributed.py:98-105)"""
+    return jax.process_index() == 0
+
+
+def get_world_size():
+    return jax.process_count()
+
+
+def get_rank():
+    return jax.process_index()
+
+
+def all_gather_arrays(*arrays):
+    """Gather per-host numpy arrays to every host (reference
+    ``du.all_gather``, utils/distributed.py:19-38). Single-process: identity."""
+    if jax.process_count() == 1:
+        return list(arrays)
+    from jax.experimental import multihost_utils
+    out = []
+    for a in arrays:
+        gathered = multihost_utils.process_allgather(np.asarray(a), tiled=False)
+        out.append(np.concatenate(list(gathered), axis=0))
+    return out
+
+
+def all_reduce_mean(*scalars):
+    """Mean-reduce host scalars across processes (reference
+    ``du.all_reduce`` with average, utils/distributed.py:41-57)."""
+    if jax.process_count() == 1:
+        return [float(s) for s in scalars]
+    from jax.experimental import multihost_utils
+    vals = np.asarray([float(s) for s in scalars], np.float64)
+    gathered = multihost_utils.process_allgather(vals, tiled=False)
+    return list(np.mean(np.stack(list(gathered)), axis=0))
+
+
+def broadcast_from_master(value):
+    """Broadcast a small host value from process 0 (the analog of the
+    reference's gloo object broadcast)."""
+    if jax.process_count() == 1:
+        return value
+    from jax.experimental import multihost_utils
+    return multihost_utils.broadcast_one_to_all(value)
+
+
+def synchronize():
+    """Barrier across hosts (reference utils/distributed.py:130-142)."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("dist_tpu_sync")
