@@ -177,15 +177,19 @@ class VideoModel:
         if "batch_stats" in variables:
             mvars["batch_stats"] = variables["batch_stats"]
         new_stats = None
+        # BN.FREEZE runs BatchNorm on running stats even while training
+        # (reference BaseVideoModel.train, models/base/models.py:60-67)
+        freeze_bn = bool(self.cfg.BN.get("FREEZE", False)) if self.cfg else False
+        bb_train = train and not freeze_bn
         if self._is_clip:
             out = self.module.apply(mvars, video,
                                     inputs.get("text_features"), rngs=rngs)
-        elif "batch_stats" in mvars and train:
+        elif "batch_stats" in mvars and bb_train:
             out, updated = self.module.apply(
                 mvars, video, train=True, rngs=rngs, mutable=["batch_stats"])
             new_stats = updated["batch_stats"]
         else:
-            out = self.module.apply(mvars, video, train=train, rngs=rngs)
+            out = self.module.apply(mvars, video, train=bb_train, rngs=rngs)
         if self.head is None:
             preds, logits = out, out
         else:

@@ -46,11 +46,18 @@ def param_labels(cfg, params):
     freeze_visual = bool(cfg.VIDEO.BACKBONE.get("FREEZE_VISUAL", False))
     freeze_text = bool(cfg.VIDEO.BACKBONE.get("FREEZE_TEXT", False))
 
+    wb_lock = bool(cfg.BN.get("WB_LOCK", False))
+
     def label(path, leaf):
         name = _path_str(path)
         if name.startswith("batch_stats"):
             # BN running stats update through the forward pass, never the
             # optimizer
+            return FROZEN
+        if wb_lock and any(seg == "bn" or seg.endswith("_bn")
+                           for seg in name.split("/")):
+            # BN scale/bias locked (reference construct_standard_optimizer,
+            # optimizer.py:125-128 "Model bn/ln locked")
             return FROZEN
         if only_linear:
             trainable = "head" in name
