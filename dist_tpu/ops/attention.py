@@ -18,6 +18,14 @@ Replaces the cuDNN attention the reference leans on
 
 Differentiable via custom_vjp with a reference-math backward (the flagship
 path runs under stop_gradient, so the backward is pruned anyway).
+
+Scope note (measured on v5e): fusing MORE into this kernel loses. A variant
+that also folded the LayerNorm + qkv projection + out-projection into the
+per-batch program ran ~15% SLOWER than XLA's composition (2.15ms vs
+1.89ms), because XLA lowers the projections as one large batched GEMM
+(B*L x D x 3D) while the per-program kernel serializes 64 small
+(197 x 768) matmuls. Keep the kernel at exactly the part XLA does badly —
+the per-head S/P/V chain with its HBM-resident score tensor.
 """
 
 import functools
