@@ -251,9 +251,9 @@ class VideoTransformer(nn.Module):
         x = stem_cls(cfg, name="stem")(x, train)
         b, num_patches, _ = x.shape
 
-        cls = self.param("cls_token", nn.initializers.normal(0.02), (1, 1, dim))
+        cls = self.param("cls_token", nn.initializers.truncated_normal(0.02), (1, 1, dim))
         x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, dim)), x], axis=1)
-        pos = self.param("pos_embd", nn.initializers.normal(0.02),
+        pos = self.param("pos_embd", nn.initializers.truncated_normal(0.02),
                          (1, num_patches + 1, dim))
         x = x + pos
 
@@ -294,11 +294,11 @@ class FactorizedTransformer(nn.Module):
         b = x.shape[0]
         x = x.reshape(b * n_frames_tok, n_per_frame, dim)
 
-        cls = self.param("cls_token", nn.initializers.normal(0.02), (1, 1, dim))
+        cls = self.param("cls_token", nn.initializers.truncated_normal(0.02), (1, 1, dim))
         x = jnp.concatenate(
             [jnp.broadcast_to(cls, (x.shape[0], 1, dim)), x], axis=1)
 
-        pos = self.param("pos_embd", nn.initializers.normal(0.02),
+        pos = self.param("pos_embd", nn.initializers.truncated_normal(0.02),
                          (1, train_per_frame + 1, dim))
         if n_per_frame != train_per_frame:
             # test-time spatial super-resolution of the pos embed
@@ -319,10 +319,10 @@ class FactorizedTransformer(nn.Module):
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)[:, 0]
 
         x = x.reshape(b, n_frames_tok, dim)
-        cls_out = self.param("cls_token_out", nn.initializers.normal(0.02),
+        cls_out = self.param("cls_token_out", nn.initializers.truncated_normal(0.02),
                              (1, 1, dim))
         x = jnp.concatenate([jnp.broadcast_to(cls_out, (b, 1, dim)), x], axis=1)
-        temp = self.param("temp_embd", nn.initializers.normal(0.02),
+        temp = self.param("temp_embd", nn.initializers.truncated_normal(0.02),
                           (1, n_frames_tok + 1, dim))
         x = x + temp
         for i in range(depth_temp):

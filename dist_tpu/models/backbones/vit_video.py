@@ -117,7 +117,7 @@ class VitVideoMAEDecoder(nn.Module):
         b, n_vis, _ = latent.shape
         n = ids_restore.shape[1]
         x = nn.Dense(dec_dim, name="embed")(latent)
-        mask_token = self.param("mask_token", nn.initializers.normal(0.02),
+        mask_token = self.param("mask_token", nn.initializers.truncated_normal(0.02),
                                 (1, 1, dec_dim))
         pad = jnp.broadcast_to(mask_token, (b, n - n_vis, dec_dim))
         x = jnp.concatenate([x, pad], axis=1)

@@ -206,6 +206,29 @@ class VideoModel:
             method=type(self.module).encode_text,
         )
 
+    def apply_with_intermediates(self, variables, inputs, train=False):
+        """Forward capturing every submodule output — the functional analog
+        of the reference's feature-map visualization hooks
+        (models/base/base_blocks.py:36-61, cfg.VISUALIZATION.*). Returns
+        (preds, intermediates pytree)."""
+        video = inputs["video"]
+        mvars = {"params": variables["params"]}
+        if "batch_stats" in variables:
+            mvars["batch_stats"] = variables["batch_stats"]
+        if self._is_clip:
+            out, state = self.module.apply(
+                mvars, video, inputs.get("text_features"),
+                capture_intermediates=True, mutable=["intermediates"])
+        else:
+            out, state = self.module.apply(
+                mvars, video, train=train,
+                capture_intermediates=True, mutable=["intermediates"])
+        preds = out
+        if self.head is not None:
+            head_vars = {"params": variables.get("head", {})}
+            preds, _ = self.head.apply(head_vars, out, train=train)
+        return preds, state["intermediates"]
+
 
 def _head_has_params(head):
     return not isinstance(head, ClipVideoTextIdentity)

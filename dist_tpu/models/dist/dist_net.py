@@ -149,7 +149,7 @@ class Temporal2Integration(nn.Module):
                     name="linear_fuse")(x_temporal)
         b, _, hh, ww, _ = x.shape
         x = x.reshape(b, t, hh * ww, c)
-        cls = self.param("cls_token", nn.initializers.normal(stddev=0.02),
+        cls = self.param("cls_token", nn.initializers.truncated_normal(0.02),
                          (1, t, c), jnp.float32)
         cls = jnp.broadcast_to(cls.astype(x.dtype), (b, t, c))[:, :, None, :]
         x = jnp.concatenate([cls, x], axis=2)  # (B, t, L=1+HW, C)
@@ -221,7 +221,7 @@ class AdaPooling(nn.Module):
 
         cls_tok = spatial_cls[:, 0, :].reshape(b, t, c)
         pos = self.param("positional_embedding",
-                         nn.initializers.normal(stddev=0.02), (1, t, c),
+                         nn.initializers.truncated_normal(0.02), (1, t, c),
                          jnp.float32)
         cls_tok = cls_tok + pos.astype(cls_tok.dtype)
         agg = CrossAttentionBlock(heads, dtype=self.dtype,
@@ -275,11 +275,11 @@ class DiSTNetwork(nn.Module):
         current_feat = res_feat + upd_mid
 
         top_cls = self.param("aggregated_cls_token",
-                             nn.initializers.normal(stddev=0.02), (1, 1, c),
+                             nn.initializers.truncated_normal(0.02), (1, 1, c),
                              jnp.float32)
         top_cls = jnp.broadcast_to(top_cls.astype(self.dtype), (b, 1, c))
         spatial_cls = self.param("aggregated_spatial_cls_token",
-                                 nn.initializers.normal(stddev=0.02), (1, 1, c),
+                                 nn.initializers.truncated_normal(0.02), (1, 1, c),
                                  jnp.float32)
         spatial_cls = jnp.broadcast_to(spatial_cls.astype(self.dtype), (bt, 1, c))
 

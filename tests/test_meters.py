@@ -54,3 +54,31 @@ def test_epic_meter_joint_action():
     assert stats["verb_top1_acc"] == "100.00"
     assert stats["noun_top1_acc"] == "100.00"
     assert stats["action_top1_acc"] == "100.00"
+
+
+def test_feature_map_intermediates():
+    """VISUALIZATION analog: capture_intermediates through the model."""
+    import jax
+    import jax.numpy as jnp
+    from dist_tpu.models.base.models import build_model
+
+    cfg = _cfg()
+    cfg.VIDEO.BACKBONE.META_ARCH = "ResNet3D"
+    cfg.VIDEO.BACKBONE.DEPTH = 10
+    cfg.VIDEO.BACKBONE.NUM_FILTERS = [8, 8, 16, 16, 16]
+    cfg.VIDEO.BACKBONE.NUM_OUT_FEATURES = 16
+    cfg.VIDEO.BACKBONE.KERNEL_SIZE = [[3, 7, 7]] + [[3, 3, 3]] * 4
+    cfg.VIDEO.BACKBONE.DOWNSAMPLING = [True, False, True, True, True]
+    cfg.VIDEO.BACKBONE.DOWNSAMPLING_TEMPORAL = [False] * 5
+    cfg.VIDEO.BACKBONE.BRANCH.NAME = "R2Plus1DBranch"
+    cfg.VIDEO.BACKBONE.STEM.NAME = "R2Plus1DStem"
+    cfg.VIDEO.HEAD.NAME = "BaseHead"
+    cfg.VIDEO.HEAD.NUM_CLASSES = 3
+    cfg.DATA.NUM_INPUT_FRAMES = 2
+
+    model = build_model(cfg)
+    video = jnp.zeros((1, 2, 16, 16, 3))
+    variables = model.init(jax.random.PRNGKey(0), {"video": video})
+    preds, feats = model.apply_with_intermediates(variables, {"video": video})
+    assert preds.shape == (1, 3)
+    assert "conv1" in feats and "conv2" in feats
