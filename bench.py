@@ -25,6 +25,8 @@ BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
 MODE = os.environ.get("BENCH_MODE", "eval")  # eval | train
+CFG = os.environ.get("BENCH_CFG",
+                     "configs/projects/dist/ssv2/vit-b16-8+16f.yaml")
 
 
 def main():
@@ -35,16 +37,20 @@ def main():
     from dist_tpu.models.base.models import build_model
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    cfg = load_config(
-        os.path.join(repo, "configs/projects/dist/ssv2/vit-b16-8+16f.yaml"),
-        opts=["TRAIN.BATCH_SIZE", str(BATCH)], make_output_dir=False)
+    cfg = load_config(os.path.join(repo, CFG),
+                      opts=["TRAIN.BATCH_SIZE", str(BATCH)],
+                      make_output_dir=False)
 
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
+    frames = int(cfg.DATA.NUM_INPUT_FRAMES)
+    n_cls = int(cfg.VIDEO.HEAD.NUM_CLASSES)
+    embed = {"ViT-B-16": 512, "ViT-L-14": 768}.get(
+        cfg.VIDEO.BACKBONE.META_ARCH_NAME, 512)
     video_u8 = jax.random.randint(
-        rng, (BATCH, 16, 224, 224, 3), 0, 255, jnp.int32).astype(jnp.uint8)
+        rng, (BATCH, frames, 224, 224, 3), 0, 255, jnp.int32).astype(jnp.uint8)
     variables = model.init(rng, {"video": video_u8.astype(jnp.float32)})
-    text_features = jax.random.normal(rng, (174, 512), jnp.float32)
+    text_features = jax.random.normal(rng, (n_cls, embed), jnp.float32)
 
     from dist_tpu.tasks.state import _prep_video
 

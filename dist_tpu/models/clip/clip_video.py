@@ -56,10 +56,13 @@ class CLIPDiSTModel(nn.Module):
     fusion_weight: float = 0.5
     dtype: jnp.dtype = jnp.float32
 
+    remat: bool = False
+
     def setup(self):
         self.visual = VisionTransformer(
             arch=self.arch, num_frames=self.num_frames,
-            sparse_alpha=self.sparse_alpha, dtype=self.dtype, name="visual",
+            sparse_alpha=self.sparse_alpha, dtype=self.dtype,
+            remat=self.remat, name="visual",
         )
         self.text = TextTransformer(arch=self.arch, dtype=self.dtype, name="text")
         if self.dist is not None:
@@ -151,6 +154,7 @@ def clip_dist_from_cfg(cfg, arch: Optional[CLIPArchitecture] = None):
     zeroshot = bool(cfg.TEST.get("ZEROSHOT") and cfg.TEST.ZEROSHOT.ENABLE)
     return CLIPDiSTModel(
         prediction_fusion=zeroshot,
+        remat=bool(cfg.get("TPU") and cfg.TPU.get("REMAT", False)),
         arch=arch,
         dist=dist,
         num_frames=cfg.DATA.NUM_INPUT_FRAMES,

@@ -123,10 +123,15 @@ class _ScanBlock(nn.Module):
 
 
 def transformer_stack(x, layers, num_heads, causal, dtype, name="resblocks",
-                      collect_taps=True):
-    """Scanned transformer; returns (final_x, taps[(layers, B, L, D)])."""
+                      collect_taps=True, remat=False):
+    """Scanned transformer; returns (final_x, taps[(layers, B, L, D)]).
+
+    ``remat=True`` wraps the scan body in ``nn.remat`` so only the per-layer
+    inputs are kept alive for the backward (jax.checkpoint — the
+    FLOPs-for-HBM trade for 32+64f ViT-L training; SURVEY section 7.3)."""
+    body = nn.remat(_ScanBlock) if remat else _ScanBlock
     Blocks = nn.scan(
-        _ScanBlock,
+        body,
         variable_axes={"params": 0},
         split_rngs={"params": True},
         length=layers,
@@ -154,6 +159,7 @@ class VisionTransformer(nn.Module):
     num_frames: int
     sparse_alpha: int = 1
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, frames, collect_taps=True):
@@ -195,6 +201,7 @@ class VisionTransformer(nn.Module):
         x, taps = transformer_stack(
             x, a.vision_layers, a.vision_heads, causal=False,
             dtype=self.dtype, name="resblocks", collect_taps=collect_taps,
+            remat=self.remat,
         )
 
         x_logits = LayerNorm(name="ln_post")(x[:, 0, :])
