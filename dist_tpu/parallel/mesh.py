@@ -54,6 +54,51 @@ def replicate(mesh, tree):
     return jax.device_put(tree, replicated(mesh))
 
 
+def _tp_spec_for(path_str, ndim):
+    """Tensor-parallel PartitionSpec for transformer params (Megatron-style
+    column/row split over the ``model`` axis):
+
+    - qkv / mlp up-projection kernels: shard the OUTPUT dim (column),
+    - out-proj / mlp down-projection kernels: shard the INPUT dim (row),
+    - everything else: replicated.
+
+    XLA inserts the psum for the row-parallel matmuls automatically when the
+    jitted step consumes these shardings.
+    """
+    col = ("attn/in_proj_weight", "mlp/c_fc/kernel", "ffn/c_fc/kernel")
+    row = ("attn/out_proj/kernel", "mlp/c_proj/kernel", "ffn/c_proj/kernel")
+    if any(path_str.endswith(s) for s in col):
+        spec = [None] * ndim
+        spec[-1] = MODEL_AXIS
+        return P(*spec)
+    if any(path_str.endswith(s) for s in row):
+        spec = [None] * ndim
+        spec[-2] = MODEL_AXIS
+        return P(*spec)
+    return P()
+
+
+def shard_params(mesh, tree):
+    """Place a variables tree with tensor-parallel shardings on the model
+    axis (falls back to pure replication when the model axis is 1)."""
+    if mesh.shape.get(MODEL_AXIS, 1) == 1:
+        return replicate(mesh, tree)
+
+    def place(path, leaf):
+        if not hasattr(leaf, "ndim") or leaf.ndim == 0:
+            return jax.device_put(leaf, replicated(mesh))
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        spec = _tp_spec_for(name, leaf.ndim)
+        # shard only if the dim divides evenly
+        for ax, s in enumerate(spec):
+            if s is not None and leaf.shape[ax] % mesh.shape[MODEL_AXIS]:
+                spec = P()
+                break
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, tree)
+
+
 def local_batch_size(cfg, mesh=None):
     """Per-device batch size from the per-GPU-style config batch
     (TRAIN.BATCH_SIZE is per-device in the reference, dataset/base/builder.py)."""

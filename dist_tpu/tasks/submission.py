@@ -14,7 +14,7 @@ import numpy as np
 
 from dist_tpu.data.builder import build_loader
 from dist_tpu.models.base.models import build_model
-from dist_tpu.parallel.mesh import build_mesh, replicate, shard_batch
+from dist_tpu.parallel.mesh import build_mesh, shard_batch, shard_params
 from dist_tpu.tasks.state import make_eval_step
 from dist_tpu.tasks.test import _init_test_state
 from dist_tpu.utils import checkpoint as cu
@@ -42,7 +42,7 @@ def submission_test(cfg):
 
     video_preds = np.zeros((num_videos, num_cls), np.float64)
     with mesh:
-        state = replicate(mesh, state)
+        state = shard_params(mesh, state)
         eval_step = jax.jit(make_eval_step(model, cfg))
         for batch in loader:
             device_batch = shard_batch(mesh, {

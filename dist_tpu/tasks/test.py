@@ -13,7 +13,7 @@ import numpy as np
 
 from dist_tpu.data.builder import build_loader
 from dist_tpu.models.base.models import build_model
-from dist_tpu.parallel.mesh import build_mesh, replicate, shard_batch
+from dist_tpu.parallel.mesh import build_mesh, shard_batch, shard_params
 from dist_tpu.tasks.state import TrainState, make_eval_step
 from dist_tpu.utils import checkpoint as cu
 from dist_tpu.utils import logging, misc
@@ -73,7 +73,7 @@ def test(cfg):
             state.variables, jnp.asarray(dataset.text_tokens)))
 
     with mesh:
-        state = replicate(mesh, state)
+        state = shard_params(mesh, state)
         eval_step = jax.jit(make_eval_step(model, cfg))
         perform_test(cfg, mesh, state, eval_step, loader, meter, text_features)
 

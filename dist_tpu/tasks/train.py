@@ -17,7 +17,7 @@ import numpy as np
 from dist_tpu.data.builder import build_loader, shuffle_dataset
 from dist_tpu.models.base.models import build_model
 from dist_tpu.optim.optimizer import construct_optimizer
-from dist_tpu.parallel.mesh import build_mesh, replicate, shard_batch
+from dist_tpu.parallel.mesh import build_mesh, shard_batch, shard_params
 from dist_tpu.tasks.state import (
     TrainState,
     create_train_state,
@@ -83,7 +83,7 @@ def train(cfg):
     text_features = _text_features(cfg, model, state, train_loader.dataset)
 
     with mesh:
-        state = replicate(mesh, state)
+        state = shard_params(mesh, state)
         train_step = jax.jit(make_train_step(model, cfg, tx, lr_fn),
                              donate_argnums=(0,) if cfg.TPU.DONATE_STATE else ())
         eval_step = jax.jit(make_eval_step(model, cfg))
