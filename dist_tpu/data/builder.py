@@ -22,8 +22,25 @@ import numpy as np
 
 from dist_tpu.data.base_dataset import DATASET_REGISTRY
 from dist_tpu.utils import logging
+from dist_tpu.utils.registry import Registry
 
 logger = logging.get_logger(__name__)
+
+COLLATE_FN_REGISTRY = Registry("CollateFn")
+
+
+@COLLATE_FN_REGISTRY.register()
+class ZeroShotCollate:
+    """Keep one shared text embedding per batch instead of per sample
+    (reference dataset/utils/collate_functions.py:13-20)."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+
+    def __call__(self, batch):
+        if "text_embedding" in batch:
+            batch["text_embedding"] = batch["text_embedding"][:1]
+        return batch
 
 
 def build_dataset(cfg, split):
@@ -39,7 +56,8 @@ class Loader:
 
     def __init__(self, dataset, batch_size, shuffle, drop_last, num_workers,
                  seed=0, num_folds=1, process_index=0, process_count=1,
-                 prefetch=2):
+                 prefetch=2, collate_fn=None):
+        self.collate_fn = collate_fn
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -109,6 +127,8 @@ class Loader:
                             k: np.stack([s[k] for s in samples])
                             for k in samples[0]
                         }
+                        if self.collate_fn is not None:
+                            batch = self.collate_fn(batch)
                         q.put(batch)
                 q.put(None)
             except BaseException as e:  # surface worker failures to the consumer
@@ -156,12 +176,17 @@ def build_loader(cfg, split):
     else:
         batch_size = int(cfg.TEST.BATCH_SIZE) * scale
         shuffle, drop_last, num_folds = False, False, 1
+    collate_fn = None
+    if cfg.DATA_LOADER.get("COLLATE_FN"):
+        collate_fn = COLLATE_FN_REGISTRY.get_strict(
+            cfg.DATA_LOADER.COLLATE_FN)(cfg)
     return Loader(
         dataset, batch_size, shuffle, drop_last,
         num_workers=cfg.DATA_LOADER.NUM_WORKERS,
         seed=int(cfg.RANDOM_SEED), num_folds=num_folds,
         process_index=jax.process_index(), process_count=jax.process_count(),
         prefetch=int(cfg.DATA_LOADER.get("PREFETCH", 2)),
+        collate_fn=collate_fn,
     )
 
 

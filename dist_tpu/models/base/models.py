@@ -196,6 +196,11 @@ class VideoModel:
             head_vars = {"params": variables.get("head", {})}
             preds, logits = self.head.apply(head_vars, out, train=train,
                                             rngs=rngs)
+        if (self.cfg is not None and self.cfg.MODEL.get("NAME") == "MoSINet"
+                and not isinstance(preds, dict)):
+            # MoSI pretext task wraps predictions under "move_joint"
+            # (reference MoSINet, models/base/models.py:69-88)
+            preds = {"move_joint": preds}
         if return_new_state:
             return preds, logits, new_stats
         return preds, logits
