@@ -93,7 +93,8 @@ class ConvBN(nn.Module):
         pad = tuple((k // 2, k // 2) for k in self.kernel)
         x = nn.Conv(self.features, self.kernel, strides=self.stride,
                     padding=pad, use_bias=not self.use_bn,
-                    feature_group_count=self.groups, name="conv")(x)
+                    feature_group_count=self.groups,
+                    kernel_init=nn.initializers.he_normal(), name="conv")(x)
         if self.use_bn:
             x = nn.BatchNorm(use_running_average=not train,
                              momentum=1.0 - self.bn_mmt, epsilon=self.bn_eps,

@@ -96,7 +96,8 @@ class _Attention(nn.Module):
         the divided space-time scheme of transformer.py:100-142."""
         h = self.num_heads
         hd = self.dim // h
-        qkv = nn.Dense(self.dim * 3, name="to_qkv")(x)
+        init = nn.initializers.truncated_normal(0.02)
+        qkv = nn.Dense(self.dim * 3, kernel_init=init, name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -139,7 +140,7 @@ class _Attention(nn.Module):
             out = jnp.concatenate([cls_out, out_], axis=1)
 
         out = out.reshape(out.shape[0], out.shape[1], self.dim)
-        out = nn.Dense(self.dim, name="proj")(out)
+        out = nn.Dense(self.dim, kernel_init=init, name="proj")(out)
         if self.ff_dropout > 0 and train:
             out = nn.Dropout(self.ff_dropout, deterministic=False)(out)
         return out
@@ -152,11 +153,12 @@ class _FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=True):
-        x = nn.Dense(self.dim * self.mult, name="fc1")(x)
+        init = nn.initializers.truncated_normal(0.02)
+        x = nn.Dense(self.dim * self.mult, kernel_init=init, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         if self.ff_dropout > 0 and train:
             x = nn.Dropout(self.ff_dropout, deterministic=False)(x)
-        x = nn.Dense(self.dim, name="fc2")(x)
+        x = nn.Dense(self.dim, kernel_init=init, name="fc2")(x)
         if self.ff_dropout > 0 and train:
             x = nn.Dropout(self.ff_dropout, deterministic=False)(x)
         return x
