@@ -112,3 +112,34 @@ class Synthetic(BaseVideoDataset):
         from dist_tpu.data.tokenizer import tokenize
         n = int(cfg.VIDEO.HEAD.NUM_CLASSES or 10)
         self.text_tokens = tokenize([f"synthetic class {i}" for i in range(n)])
+
+
+@DATASET_REGISTRY.register()
+class Epickitchen100(BaseVideoDataset):
+    """EPIC-KITCHENS-100 with verb/noun dual labels.
+
+    The reference ships the EPIC heads/meters/configs but no dataset class;
+    this completes the path. List format: ``relpath verb_id noun_id`` per
+    line (``epickitchen100_{split}_list.txt``).
+    """
+
+    def _get_dataset_list_name(self):
+        split = "train" if self.split == "train" else "test"
+        return f"epickitchen100_{split}_list.txt"
+
+    def _get_sample_info(self, index):
+        parts = self._samples[index].replace(",", " ").split()
+        path, verb, noun = parts[0], int(parts[1]), int(parts[2])
+        return {
+            "path": os.path.join(self.data_root_dir, path),
+            "supervised_label": verb,  # primary label slot
+            "verb": verb,
+            "noun": noun,
+        }
+
+    def __getitem__(self, index):
+        item = super().__getitem__(index)
+        info = self._get_sample_info(int(item["index"]))
+        item["label_verb"] = np.int64(info["verb"])
+        item["label_noun"] = np.int64(info["noun"])
+        return item

@@ -129,9 +129,17 @@ def calculate_loss(cfg, preds, logits, labels, cur_epoch=0.0):
 
     target = labels["supervised"]
     smoothing = float(cfg.AUGMENTATION.get("LABEL_SMOOTHING", 0.0))
-    if smoothing > 0.0 and not isinstance(target, dict):
-        num_classes = preds.shape[-1]
-        target = label_smoothing(target, num_classes, smoothing)
+    if smoothing > 0.0:
+        # smoothed one-hot targets (dict targets smooth per head —
+        # dataset/utils/mixup.py label_smoothing)
+        if isinstance(target, dict):
+            loss = 0.0
+            for k, v in target.items():
+                t = label_smoothing(v, preds[k].shape[-1], smoothing)
+                loss_in_parts["loss_" + k] = soft_target_cross_entropy(preds[k], t)
+                loss = loss + loss_in_parts["loss_" + k]
+            return loss, loss_in_parts
+        target = label_smoothing(target, preds.shape[-1], smoothing)
         loss = soft_target_cross_entropy(preds, target)
         return loss, loss_in_parts
     if isinstance(target, dict):

@@ -79,11 +79,17 @@ def make_train_step(model, cfg, tx, lr_fn):
         else:
             video = _prep_video(cfg, video)
         labels = {"supervised": batch["labels"]}
+        if "label_verb" in batch:
+            # EPIC dual verb/noun labels (dict-valued supervised target,
+            # reference losses.py:110-118)
+            labels["supervised"] = {"verb_class": batch["label_verb"],
+                                    "noun_class": batch["label_noun"]}
         if pretrain and "contrastive" in batch:
             labels["self-supervised"] = {"contrastive": batch["contrastive"]}
         rng = jax.random.fold_in(rng, state.step)
 
-        if (not pretrain) and mc is not None and mc.enabled:
+        if ((not pretrain) and mc is not None and mc.enabled
+                and not isinstance(labels["supervised"], dict)):
             k_mix, rng = jax.random.split(rng)
             video, labels["supervised_mixup"] = mixup_batch(
                 k_mix, video, batch["labels"], mc)

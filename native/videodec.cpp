@@ -114,6 +114,18 @@ int decode_one(const DecodeRequest& req) {
   SwsContext* sws = nullptr;
   AVFrame* frame = av_frame_alloc();
   AVPacket* pkt = av_packet_alloc();
+  // swscale writes SIMD-width past unaligned row ends; convert into an
+  // aligned scratch image and row-copy into the caller's tight buffer
+  uint8_t* tmp_data[4] = {nullptr, nullptr, nullptr, nullptr};
+  int tmp_linesize[4] = {0, 0, 0, 0};
+  if (av_image_alloc(tmp_data, tmp_linesize, out_w, out_h, AV_PIX_FMT_RGB24,
+                     64) < 0) {
+    av_frame_free(&frame);
+    av_packet_free(&pkt);
+    avcodec_free_context(&ctx);
+    avformat_close_input(&fmt);
+    return -7;
+  }
 
   // seek near the first wanted frame when it is far into the stream
   int64_t first = wanted.front().first;
@@ -161,11 +173,14 @@ int decode_one(const DecodeRequest& req) {
                                out_w, out_h, AV_PIX_FMT_RGB24,
                                SWS_BILINEAR, nullptr, nullptr, nullptr);
         }
-        uint8_t* dst = req.out + frame_bytes * wanted[next_wanted].second;
-        uint8_t* dst_data[4] = {dst, nullptr, nullptr, nullptr};
-        int dst_linesize[4] = {out_w * 3, 0, 0, 0};
         sws_scale(sws, frame->data, frame->linesize, 0, frame->height,
-                  dst_data, dst_linesize);
+                  tmp_data, tmp_linesize);
+        uint8_t* dst = req.out + frame_bytes * wanted[next_wanted].second;
+        for (int row = 0; row < out_h; ++row) {
+          std::memcpy(dst + static_cast<size_t>(row) * out_w * 3,
+                      tmp_data[0] + static_cast<size_t>(row) * tmp_linesize[0],
+                      static_cast<size_t>(out_w) * 3);
+        }
         ++wrote;
         ++next_wanted;
       }
@@ -189,6 +204,7 @@ int decode_one(const DecodeRequest& req) {
   }
 
   if (sws) sws_freeContext(sws);
+  av_freep(&tmp_data[0]);
   av_frame_free(&frame);
   av_packet_free(&pkt);
   avcodec_free_context(&ctx);
