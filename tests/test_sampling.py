@@ -15,7 +15,8 @@ def test_interval_deterministic_center():
                                   num_frames=4, interval=8, target_fps=30)
     clip_len = 4 * 8  # 32
     start = (100 - clip_len) / 2  # 34
-    expect = np.round(np.linspace(start, start + clip_len - 1, 4)).astype(int)
+    # truncation, matching torch .long() (base_dataset.py:547)
+    expect = np.linspace(start, start + clip_len - 1, 4).astype(int)
     np.testing.assert_array_equal(idx, np.clip(expect, 0, 99))
 
 
