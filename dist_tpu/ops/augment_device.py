@@ -15,8 +15,11 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_RGB2GRAY = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
+# numpy, not jnp: this module may be first imported inside a jit trace, and
+# a module-level jnp constant created there would leak a tracer
+_RGB2GRAY = np.asarray([0.299, 0.587, 0.114], np.float32)
 
 
 @dataclasses.dataclass(frozen=True)

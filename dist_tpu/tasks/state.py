@@ -18,6 +18,7 @@ import optax
 
 from dist_tpu.data.mixup import MixupConfig, mixup_batch
 from dist_tpu.data.transforms import normalize_device
+from dist_tpu.ops.augment_device import DeviceAugConfig, device_augment
 from dist_tpu.optim.losses import calculate_loss
 from dist_tpu.utils.metrics import topks_correct
 
@@ -43,7 +44,9 @@ def create_train_state(variables, tx, ema_decay=None):
         step=jnp.zeros((), jnp.int32),
         variables=variables,
         opt_state=tx.init(variables),
-        ema_variables=(jax.tree_util.tree_map(lambda x: x, variables)
+        # a REAL copy: aliasing the same buffers would make the donated
+        # train-step state contain each buffer twice
+        ema_variables=(jax.tree_util.tree_map(jnp.array, variables)
                        if ema_decay else None),
     )
 
@@ -68,8 +71,6 @@ def make_train_step(model, cfg, tx, lr_fn):
         if use_device_aug and video.dtype == jnp.uint8:
             # on-device augmentation (the reference's USE_GPU mode,
             # base_dataset.py:390-392) fused into the step jit
-            from dist_tpu.ops.augment_device import (
-                DeviceAugConfig, device_augment)
             k_aug, rng = jax.random.split(jax.random.fold_in(rng, state.step))
             v01 = video.astype(jnp.float32) / 255.0
             v01 = device_augment(k_aug, v01, DeviceAugConfig.from_cfg(cfg))
