@@ -54,3 +54,26 @@ def test_deterministic_eval(tiny_cfg):
     s2 = test_task(cfg)
     assert s1["top1_acc"] == s2["top1_acc"]
     assert s1["top5_acc"] == s2["top5_acc"]
+
+
+def test_auto_resume(tiny_cfg):
+    """Train 1 epoch -> auto-resume continues at the saved epoch
+    (reference load_train_checkpoint, checkpoint.py:532-577)."""
+    from dist_tpu.models.base.models import build_model
+    from dist_tpu.optim.optimizer import construct_optimizer
+    from dist_tpu.tasks.state import create_train_state
+    from dist_tpu.utils import checkpoint as cu
+    import jax
+    import jax.numpy as jnp
+
+    cfg = tiny_cfg.deep_copy()
+    cfg.TRAIN.AUTO_RESUME = True
+    # a checkpoint exists from test_train_and_eval (epoch 1)
+    model = build_model(cfg)
+    video = jnp.zeros((2, 4, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), {"video": video})
+    tx, _ = construct_optimizer(cfg, variables, steps_per_epoch=2)
+    state = create_train_state(variables, tx)
+    state, start_epoch = cu.load_train_checkpoint(cfg, state)
+    assert start_epoch == 1
+    assert int(state.step) == 2  # restored optimizer step count
