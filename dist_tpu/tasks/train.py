@@ -123,25 +123,41 @@ def train(cfg):
 def train_epoch(cfg, mesh, state, train_step, loader, meter, cur_epoch, rng,
                 text_features):
     meter.iter_tic()
-    for cur_iter, batch in enumerate(loader):
-        device_batch = shard_batch(mesh, {
-            "video": batch["video"], "labels": batch["label"]})
-        if text_features is not None:
-            device_batch["text_features"] = text_features
-        state, metrics = train_step(state, device_batch, rng)
+
+    def consume(metrics, cur_iter, mb_size):
+        # lag-1 metric readback: metrics of step k are fetched while step
+        # k+1 runs on device, so the host never blocks the accelerator
+        # (the reference syncs with .item() every iteration,
+        # runs/train.py:169-201)
         metrics = jax.device_get(metrics)
         misc.check_nan_losses(metrics["loss"])
         meter.iter_toc()
         meter.update_stats(
             float(metrics["top1_err"]), float(metrics["top5_err"]),
             float(metrics["loss"]), float(metrics["lr"]),
-            batch["video"].shape[0] * jax.process_count())
+            mb_size * jax.process_count())
         extra = {k: float(v) for k, v in metrics.items()
                  if k not in ("loss", "top1_err", "top5_err", "lr", "preds")}
         if extra:
             meter.update_custom_stats(extra)
         meter.log_iter_stats(cur_epoch, cur_iter)
         meter.iter_tic()
+
+    pending = None
+    for cur_iter, batch in enumerate(loader):
+        device_batch = shard_batch(mesh, {
+            "video": batch["video"], "labels": batch["label"]})
+        for extra_key in ("label_verb", "label_noun", "contrastive"):
+            if extra_key in batch:
+                device_batch[extra_key] = batch[extra_key]
+        if text_features is not None:
+            device_batch["text_features"] = text_features
+        state, metrics = train_step(state, device_batch, rng)
+        if pending is not None:
+            consume(*pending)
+        pending = (metrics, cur_iter, batch["video"].shape[0])
+    if pending is not None:
+        consume(*pending)
     meter.log_epoch_stats(cur_epoch + int(cfg.TRAIN.get("NUM_FOLDS", 1)) - 1)
     meter.reset()
     return state
