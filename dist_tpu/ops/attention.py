@@ -65,6 +65,9 @@ def _attn_kernel(qkv_ref, o_ref, *, causal, num_heads, d):
         q = qkv_ref[0, :, h * hd:(h + 1) * hd]
         k = qkv_ref[0, :, d + h * hd:d + (h + 1) * hd]
         v = qkv_ref[0, :, 2 * d + h * hd:2 * d + (h + 1) * hd]
+        # fp32 matmul inputs measured FASTEST here (1.03ms vs 1.11ms bf16
+        # inputs / 1.39ms post-scale): at these tiny matmul shapes the
+        # kernel is softmax/VPU-bound, not MXU-mode-bound
         s = jax.lax.dot_general(
             q.astype(jnp.float32) * scale, k.astype(jnp.float32),
             dimension_numbers=(((1,), (1,)), ((), ())),
