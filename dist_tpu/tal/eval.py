@@ -92,3 +92,31 @@ def evaluate_detection(ground_truth, predictions,
     logger.info("Detection mAP: %.4f (per-tIoU: %s)", result["mAP"],
                 ["%.3f" % x for x in map_per_tiou])
     return result
+
+
+def evaluate_detection_files(video_anno_file, detection_result_file,
+                             tiou_thresholds=np.linspace(0.5, 0.95, 10)):
+    """File-based entry matching the reference API
+    (utils/eval_tal/eval_tal.py:12-23). Annotation: ActivityNet-style
+    ``{"database": {vid: {"annotations": [{"segment": [s, e],
+    "label": l}]}}}`` (or a flat {vid: [...]} mapping); results:
+    ``{"results": {vid: [{"segment": [s, e], "label": l, "score": p}]}}``."""
+    import json
+
+    with open(video_anno_file) as f:
+        anno = json.load(f)
+    db = anno.get("database", anno)
+    gt = {}
+    for vid, entry in db.items():
+        segs = entry["annotations"] if isinstance(entry, dict) else entry
+        gt[vid] = [{"t_start": s["segment"][0], "t_end": s["segment"][1],
+                    "label": s["label"]} for s in segs]
+
+    with open(detection_result_file) as f:
+        res = json.load(f)
+    res = res.get("results", res)
+    pred = {}
+    for vid, segs in res.items():
+        pred[vid] = [{"t_start": s["segment"][0], "t_end": s["segment"][1],
+                      "label": s["label"], "score": s["score"]} for s in segs]
+    return evaluate_detection(gt, pred, tiou_thresholds)

@@ -40,26 +40,63 @@ def submission_test(cfg):
     state = _init_test_state(cfg, model, first_batch)
     state = cu.load_test_checkpoint(cfg, state)
 
-    video_preds = np.zeros((num_videos, num_cls), np.float64)
+    text_features = None
+    if getattr(dataset, "text_tokens", None) is not None:
+        import jax.numpy as jnp
+        text_features = jax.device_get(jax.jit(
+            lambda v, t: model.encode_text(v, t))(
+            state.variables, jnp.asarray(dataset.text_tokens)))
+
+    nc = cfg.VIDEO.HEAD.NUM_CLASSES
+    dual = isinstance(nc, (list, tuple))
+    if dual:
+        video_preds = {"verb": np.zeros((num_videos, nc[0]), np.float64),
+                       "noun": np.zeros((num_videos, nc[1]), np.float64)}
+    else:
+        video_preds = np.zeros((num_videos, int(nc)), np.float64)
     with mesh:
         state = shard_params(mesh, state)
         eval_step = jax.jit(make_eval_step(model, cfg))
         for batch in loader:
             device_batch = shard_batch(mesh, {
                 "video": batch["video"], "labels": batch["label"]})
+            if text_features is not None:
+                device_batch["text_features"] = text_features
             metrics = eval_step(state, device_batch)
-            preds = np.asarray(jax.device_get(metrics["preds"]))
+            preds = jax.device_get(metrics["preds"])
             for i, idx in enumerate(batch["index"]):
-                video_preds[int(idx) // num_views] += preds[i]
+                v = int(idx) // num_views
+                if dual:
+                    video_preds["verb"][v] += np.asarray(preds["verb_class"])[i]
+                    video_preds["noun"][v] += np.asarray(preds["noun_class"])[i]
+                else:
+                    video_preds[v] += np.asarray(preds)[i]
 
-    results = {
-        "version": "0.1",
-        "challenge": "action_recognition",
-        "results": {
-            str(v): {"scores": video_preds[v].tolist()}
-            for v in range(num_videos)
-        },
-    }
+    if dual:
+        # EPIC-KITCHENS test-server shape (reference
+        # runs/submission_test.py:24-282)
+        results = {
+            "version": "0.2",
+            "challenge": "action_recognition",
+            "results": {
+                str(v): {
+                    "verb": {str(c): float(video_preds["verb"][v, c])
+                             for c in range(nc[0])},
+                    "noun": {str(c): float(video_preds["noun"][v, c])
+                             for c in range(nc[1])},
+                }
+                for v in range(num_videos)
+            },
+        }
+    else:
+        results = {
+            "version": "0.1",
+            "challenge": "action_recognition",
+            "results": {
+                str(v): {"scores": video_preds[v].tolist()}
+                for v in range(num_videos)
+            },
+        }
     out_path = os.path.join(cfg.OUTPUT_DIR, cfg.SUBMISSION.SAVE_RESULTS_PATH)
     with open(out_path, "w") as f:
         json.dump(results, f)

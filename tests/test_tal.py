@@ -49,3 +49,19 @@ def test_detection_map_perfect_and_empty():
     assert res["mAP"] == 1.0
     res = evaluate_detection(gt, {}, tiou_thresholds=[0.5])
     assert res["mAP"] == 0.0
+
+
+def test_detection_file_api(tmp_path):
+    import json
+    from dist_tpu.tal.eval import evaluate_detection_files
+
+    anno = {"database": {"v1": {"annotations": [
+        {"segment": [0.0, 1.0], "label": "a"}]}}}
+    res = {"results": {"v1": [
+        {"segment": [0.0, 1.0], "label": "a", "score": 0.9}]}}
+    ap = str(tmp_path / "anno.json")
+    rp = str(tmp_path / "res.json")
+    json.dump(anno, open(ap, "w"))
+    json.dump(res, open(rp, "w"))
+    out = evaluate_detection_files(ap, rp, tiou_thresholds=[0.5])
+    assert out["mAP"] == 1.0
