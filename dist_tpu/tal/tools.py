@@ -54,3 +54,56 @@ def fuse_verb_noun_scores(verb_scores, noun_scores, top_k=5):
     noun_idx = top % c
     scores = np.take_along_axis(flat, top, axis=1)
     return verb_idx, noun_idx, scores
+
+
+def _boundary_peaks(scores):
+    """Boundary candidate mask: local maxima or > 0.5*max
+    (utils/tal_tools.py:93-111)."""
+    scores = np.asarray(scores, np.float64)
+    n = len(scores)
+    bins = np.zeros(n)
+    mx = scores.max() if n else 0.0
+    for i in range(1, n - 1):
+        if scores[i] > scores[i + 1] and scores[i] > scores[i - 1]:
+            bins[i] = 1
+        elif scores[i] > 0.5 * mx:
+            bins[i] = 1
+    return bins
+
+
+def parse_bmn_proposals(start_scores, end_scores, confidence_map):
+    """Decode BMN maps into a scored proposal list
+    (reference parse_epic_bmn_proposals, utils/tal_tools.py:67-139).
+
+    start/end_scores: (T,) boundary probabilities;
+    confidence_map: (2, D, T) [regression, classification] confidences.
+    Returns dict of arrays: xmin, xmax, score (+ component scores), with
+    score = start * end * cls_conf * reg_conf and boundaries restricted to
+    peak/0.5-max candidates. Start bin 0 / end bin T-1 always included.
+    """
+    start_scores = np.asarray(start_scores, np.float64)
+    end_scores = np.asarray(end_scores, np.float64)
+    reg_conf = np.asarray(confidence_map[0], np.float64)
+    clr_conf = np.asarray(confidence_map[1], np.float64)
+    dscale, tscale = clr_conf.shape
+
+    start_bins = _boundary_peaks(start_scores)
+    start_bins[0] = 1
+    end_bins = _boundary_peaks(end_scores)
+    end_bins[-1] = 1
+
+    out = {k: [] for k in ("xmin", "xmax", "xmin_score", "xmax_score",
+                           "clr_score", "reg_score", "score")}
+    for d in range(dscale):
+        for s in range(tscale):
+            e = s + d + 1
+            if e < tscale and start_bins[s] == 1 and end_bins[e] == 1:
+                out["xmin"].append(s / tscale)
+                out["xmax"].append(e / tscale)
+                out["xmin_score"].append(start_scores[s])
+                out["xmax_score"].append(end_scores[e])
+                out["clr_score"].append(clr_conf[d, s])
+                out["reg_score"].append(reg_conf[d, s])
+                out["score"].append(start_scores[s] * end_scores[e]
+                                    * clr_conf[d, s] * reg_conf[d, s])
+    return {k: np.asarray(v) for k, v in out.items()}

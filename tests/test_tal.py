@@ -65,3 +65,20 @@ def test_detection_file_api(tmp_path):
     json.dump(res, open(rp, "w"))
     out = evaluate_detection_files(ap, rp, tiou_thresholds=[0.5])
     assert out["mAP"] == 1.0
+
+
+def test_parse_bmn_proposals():
+    from dist_tpu.tal.tools import parse_bmn_proposals
+
+    T, D = 8, 4
+    start = np.zeros(T); start[2] = 0.9
+    end = np.zeros(T); end[5] = 0.8
+    conf = np.full((2, D, T), 0.5)
+    props = parse_bmn_proposals(start, end, conf)
+    assert len(props["score"]) > 0
+    # the true (2, 5) proposal exists with score 0.9*0.8*0.25
+    match = [(a, b) for a, b in zip(props["xmin"], props["xmax"])
+             if abs(a - 2 / 8) < 1e-9 and abs(b - 5 / 8) < 1e-9]
+    assert match
+    best = np.argmax(props["score"])
+    np.testing.assert_allclose(props["score"][best], 0.9 * 0.8 * 0.25, atol=1e-9)
