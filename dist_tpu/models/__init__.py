@@ -11,3 +11,4 @@ from dist_tpu.models.backbones import vit_video  # noqa: F401
 from dist_tpu.models.heads import contrastive  # noqa: F401
 from dist_tpu.models.heads import transformer_head  # noqa: F401
 from dist_tpu.models.backbones import localization  # noqa: F401
+from dist_tpu.models.heads import bmn  # noqa: F401
