@@ -99,6 +99,30 @@ def random_resized_crop(frames, crop_size, scale, ratio, rng):
     return out
 
 
+def auto_resized_crop(frames, scale_range, crop_size, mode, rng=None):
+    """7-position controlled crop after short-side resize
+    (reference AutoResizedCropVideo, transformations.py:322-413):
+    cc center, ll/rr left/right, tl/tr/bl/br corners, or "rand"."""
+    positions = ("cc", "ll", "rr", "tl", "tr", "bl", "br")
+    if mode == "rand":
+        rng = rng or np.random.default_rng()
+        mode = positions[int(rng.integers(len(positions)))]
+    assert mode in positions, mode
+    if rng is not None and scale_range[0] < scale_range[1]:
+        scale = rng.uniform(scale_range[0], scale_range[1])
+    else:
+        scale = scale_range[0]
+    side = int(round(crop_size / scale)) if scale <= 1 else int(round(scale))
+    frames = resize_short_side(frames, max(side, crop_size))
+    _, h, w, _ = frames.shape
+    x_max, y_max = w - crop_size, h - crop_size
+    x = {"cc": x_max // 2, "ll": 0, "rr": x_max, "tl": 0, "tr": x_max,
+         "bl": 0, "br": x_max}[mode]
+    y = {"cc": y_max // 2, "ll": y_max // 2, "rr": y_max // 2, "tl": 0,
+         "tr": 0, "bl": y_max, "br": y_max}[mode]
+    return frames[:, y:y + crop_size, x:x + crop_size]
+
+
 def horizontal_flip(frames):
     return frames[:, :, ::-1]
 
