@@ -41,7 +41,8 @@ def test_random_crop_in_range():
 
 def test_auto_resized_crop_positions():
     f = _frames(80, 80)
-    outs = {m: auto_resized_crop(f, (1.0, 1.0), 40, m)
+    # scale 0.5 -> resize short side to 80, leaving room for the positions
+    outs = {m: auto_resized_crop(f, (0.5, 0.5), 40, m)
             for m in ("cc", "ll", "rr", "tl", "tr", "bl", "br")}
     assert all(o.shape == (2, 40, 40, 3) for o in outs.values())
     assert not np.array_equal(outs["tl"], outs["br"])
