@@ -107,10 +107,11 @@ class Loader:
             if len(chunk) < self.batch_size:
                 if self.drop_last:
                     continue
-                # pad the final batch by wrapping (static shapes for jit);
-                # TestMeter dedups by clip id, train drops last anyway
-                chunk = np.concatenate(
-                    [chunk, indices[:self.batch_size - len(chunk)]])
+                # pad the final batch by cycling the stream (static shapes
+                # for jit); works even when the whole dataset is smaller
+                # than one batch. TestMeter dedups by clip id.
+                pad = np.resize(indices, self.batch_size - len(chunk))
+                chunk = np.concatenate([chunk, pad])
             batches.append(chunk)
 
         q = queue.Queue(maxsize=self.prefetch)
