@@ -22,8 +22,8 @@ REFERENCE_CLIPS_PER_SEC = 32.0
 
 # benchmark knobs (overridable via env for experimentation)
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
-ITERS = int(os.environ.get("BENCH_ITERS", "20"))
-WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
+ITERS = int(os.environ.get("BENCH_ITERS", "60"))
+WARMUP = int(os.environ.get("BENCH_WARMUP", "2"))
 MODE = os.environ.get("BENCH_MODE", "eval")  # eval | train
 CFG = os.environ.get("BENCH_CFG",
                      "configs/projects/dist/ssv2/vit-b16-8+16f.yaml")
