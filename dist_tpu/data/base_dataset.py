@@ -90,6 +90,12 @@ def probe_video_cv2(path):
 
 
 class BaseVideoDataset(abc.ABC):
+    # p=0.5 horizontal flip in the supervised train transform (the reference
+    # puts an unconditional RandomHorizontalFlipVideo in the kinetics-family
+    # train transforms, kinetics400.py:89; SSV2 instead flips via the
+    # label-remap path below, so its subclass disables this).
+    TRAIN_RANDOM_FLIP = True
+
     def __init__(self, cfg, split):
         self.cfg = cfg
         self.split = split
@@ -207,6 +213,12 @@ class BaseVideoDataset(abc.ABC):
     def _transform(self, frames, spatial_idx, rng):
         cfg = self.cfg
         if self.split == "train":
+            if (self.TRAIN_RANDOM_FLIP
+                    and not cfg.AUGMENTATION.get("USE_GPU")
+                    and rng.uniform() < 0.5):
+                # flip before crop (reference kinetics400.py:86-89); skipped
+                # when the on-device augmentation pipeline flips instead
+                frames = transforms.horizontal_flip(frames)
             scales = cfg.DATA.TRAIN_JITTER_SCALES
             if scales[0] <= 1:
                 frames = transforms.random_resized_crop(
@@ -281,13 +293,26 @@ class BaseVideoDataset(abc.ABC):
 
         frames = self._transform(frames, spatial_idx, rng)
 
+        # the label-remapping flip applies ONLY to SSV2 (reference
+        # base_dataset.py:416-431 guards on `"ssv2" in cfg.TRAIN.DATASET`;
+        # the shipped K400 configs inherit SSV2_FLIP=true, so without the
+        # dataset guard Kinetics labels 86/87, 93/94, 166/167 get swapped)
         if (self.split == "train" and self.cfg.AUGMENTATION.get("SSV2_FLIP")
+                and "ssv2" in str(self.dataset_name).lower()
+                and not self.cfg.PRETRAIN.ENABLE
                 and rng.uniform() < 0.5):
             frames = transforms.horizontal_flip(frames)
             label = SSV2_FLIP_LABEL_MAP.get(label, label)
 
-        return {
+        item = {
             "video": np.ascontiguousarray(frames),
             "label": np.int64(label),
             "index": np.int64(index),
         }
+        # dual-label datasets (EPIC verb/noun) carry extra label columns in
+        # sample_info; taking them from the SAME sample_info the decode used
+        # keeps them consistent with the decode-retry neighbor fallback
+        for key in ("verb", "noun"):
+            if key in sample_info:
+                item[f"label_{key}"] = np.int64(sample_info[key])
+        return item

@@ -20,6 +20,10 @@ logger = logging.get_logger(__name__)
 class Ssv2(BaseVideoDataset):
     """Something-Something-V2 (reference dataset/base/ssv2.py:32-152)."""
 
+    # SSV2 flips only through the label-remap path (temporal direction
+    # matters); the reference ssv2 train transform has no flip.
+    TRAIN_RANDOM_FLIP = False
+
     def _get_dataset_list_name(self):
         return "something-something-v2-{}-with-label.json".format(
             "train" if self.split == "train" else "validation")
@@ -76,6 +80,7 @@ class Synthetic(BaseVideoDataset):
     view-replication / sampling / transform path without touching disk."""
 
     NUM_SYNTH = 32
+    TRAIN_RANDOM_FLIP = False  # keep synthetic batches deterministic
 
     def _construct_dataset(self, cfg):
         n = int(cfg.TRAIN.get("NUM_SAMPLES_LIMIT", -1))
@@ -133,13 +138,7 @@ class Epickitchen100(BaseVideoDataset):
         return {
             "path": os.path.join(self.data_root_dir, path),
             "supervised_label": verb,  # primary label slot
+            # picked up as label_verb/label_noun by the base __getitem__
             "verb": verb,
             "noun": noun,
         }
-
-    def __getitem__(self, index):
-        item = super().__getitem__(index)
-        info = self._get_sample_info(int(item["index"]))
-        item["label_verb"] = np.int64(info["verb"])
-        item["label_noun"] = np.int64(info["noun"])
-        return item

@@ -54,6 +54,7 @@ def submission_test(cfg):
                        "noun": np.zeros((num_videos, nc[1]), np.float64)}
     else:
         video_preds = np.zeros((num_videos, int(nc)), np.float64)
+    seen = set()  # dedup padded duplicate views (loader cycles indices)
     with mesh:
         state = shard_params(mesh, state)
         eval_step = jax.jit(make_eval_step(model, cfg))
@@ -65,6 +66,9 @@ def submission_test(cfg):
             metrics = eval_step(state, device_batch)
             preds = jax.device_get(metrics["preds"])
             for i, idx in enumerate(batch["index"]):
+                if int(idx) in seen:
+                    continue
+                seen.add(int(idx))
                 v = int(idx) // num_views
                 if dual:
                     video_preds["verb"][v] += np.asarray(preds["verb_class"])[i]

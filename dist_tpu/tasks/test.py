@@ -90,21 +90,31 @@ def perform_test(cfg, mesh, state, eval_step, loader, meter, text_features):
         metrics = eval_step(state, device_batch)
         preds = jax.device_get(metrics["preds"])
         ids = batch["index"]
+
+        def gather(x):
+            # each host evaluates its own index shard; the meter needs all
+            # of them (replaces the reference's NCCL all_gather,
+            # runs/test.py:131-141)
+            from jax.experimental import multihost_utils
+            return np.concatenate(
+                multihost_utils.process_allgather(np.asarray(x), tiled=False))
+
+        multihost = jax.process_count() > 1
         if isinstance(preds, dict):
             # EPIC dual-head: labels arrive as separate verb/noun columns
+            preds = {k: np.asarray(v) for k, v in preds.items()}
             labels = {"verb_class": batch.get("label_verb", batch["label"]),
                       "noun_class": batch.get("label_noun", batch["label"])}
-            meter.update_stats({k: np.asarray(v) for k, v in preds.items()},
-                               labels, ids)
+            if multihost:
+                preds = {k: gather(v) for k, v in preds.items()}
+                labels = {k: gather(v) for k, v in labels.items()}
+                ids = gather(ids)
+            meter.update_stats(preds, labels, ids)
             continue
         preds = np.asarray(preds)
         labels = batch["label"]
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-            preds, labels, ids = map(
-                lambda x: np.concatenate(
-                    multihost_utils.process_allgather(x, tiled=False)),
-                (preds, labels, ids))
+        if multihost:
+            preds, labels, ids = gather(preds), gather(labels), gather(ids)
         meter.update_stats(preds, labels, ids)
         if (cur_iter + 1) % cfg.LOG_PERIOD == 0:
             logger.info("test iter %d/%d", cur_iter + 1, len(loader))

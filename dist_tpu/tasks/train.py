@@ -72,7 +72,11 @@ def train(cfg):
 
     train_loader = build_loader(cfg, "train")
     val_loader = build_loader(cfg, "val")
-    steps_per_epoch = max(len(train_loader) // max(int(cfg.TRAIN.get("NUM_FOLDS", 1)), 1), 1)
+    # the schedule divides by the FULL fold-epoch loader length (it already
+    # multiplies by NUM_FOLDS, lr_policy.lr_schedule_by_step; reference
+    # runs/train.py:97) — dividing here too would run warmup/cosine
+    # NUM_FOLDS x too fast
+    steps_per_epoch = max(len(train_loader), 1)
 
     first_batch = next(iter(train_loader))
     state, tx, lr_fn = _init_state(cfg, model, first_batch, steps_per_epoch)
@@ -145,11 +149,13 @@ def train_epoch(cfg, mesh, state, train_step, loader, meter, cur_epoch, rng,
 
     pending = None
     for cur_iter, batch in enumerate(loader):
-        device_batch = shard_batch(mesh, {
-            "video": batch["video"], "labels": batch["label"]})
+        host_batch = {"video": batch["video"], "labels": batch["label"]}
         for extra_key in ("label_verb", "label_noun", "contrastive"):
             if extra_key in batch:
-                device_batch[extra_key] = batch[extra_key]
+                # per-sample columns ride the same data-axis sharding as the
+                # video (putting them replicated forces an XLA reshard)
+                host_batch[extra_key] = batch[extra_key]
+        device_batch = shard_batch(mesh, host_batch)
         if text_features is not None:
             device_batch["text_features"] = text_features
         state, metrics = train_step(state, device_batch, rng)

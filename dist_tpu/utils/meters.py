@@ -215,12 +215,17 @@ class EpicKitchenMeter:
             "noun_class": np.zeros((num_videos,), np.int64),
         }
         self.clip_count = np.zeros((num_videos,), np.int64)
+        # loader pads the final batch by cycling earlier indices; each view
+        # must count exactly once (reference doesn't pad: DistributedSampler
+        # keeps batches divisible)
+        self.seen = np.zeros((num_videos * num_clips,), bool)
         self.stats = {}
 
     def reset(self):
         for v in self.video_preds.values():
             v[:] = 0
         self.clip_count[:] = 0
+        self.seen[:] = False
 
     def update_stats(self, preds, labels, clip_ids):
         """preds: {"verb_class": (N, V), "noun_class": (N, Nn)} softmax
@@ -230,6 +235,9 @@ class EpicKitchenMeter:
         clip_ids = np.asarray(clip_ids)
         action = (verb[:, :, None] * noun[:, None, :]).reshape(verb.shape[0], -1)
         for i in range(verb.shape[0]):
+            if self.seen[int(clip_ids[i])]:
+                continue  # padded duplicate view
+            self.seen[int(clip_ids[i])] = True
             vid = int(clip_ids[i]) // self.num_clips
             if self.clip_count[vid] == 0:
                 self.video_labels["verb_class"][vid] = labels["verb_class"][i]
@@ -272,12 +280,16 @@ class TestMeter:
         self.video_preds = np.zeros((num_videos, num_cls), np.float64)
         self.video_labels = np.zeros((num_videos,), np.int64)
         self.clip_count = np.zeros((num_videos,), np.int64)
+        # padded duplicate views (loader cycles indices to keep static batch
+        # shapes) must be counted exactly once
+        self.seen = np.zeros((num_videos * num_clips,), bool)
         self.stats = {}
 
     def reset(self):
         self.video_preds[:] = 0
         self.video_labels[:] = 0
         self.clip_count[:] = 0
+        self.seen[:] = False
 
     def update_stats(self, preds, labels, clip_ids):
         """preds (N, C) scores per clip view; clip_ids = global dataset index
@@ -286,6 +298,9 @@ class TestMeter:
         labels = np.asarray(labels)
         clip_ids = np.asarray(clip_ids)
         for i in range(preds.shape[0]):
+            if self.seen[int(clip_ids[i])]:
+                continue  # padded duplicate view
+            self.seen[int(clip_ids[i])] = True
             vid_id = int(clip_ids[i]) // self.num_clips
             if self.clip_count[vid_id] == 0:
                 self.video_labels[vid_id] = labels[i]

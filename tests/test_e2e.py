@@ -77,3 +77,20 @@ def test_auto_resume(tiny_cfg):
     state, start_epoch = cu.load_train_checkpoint(cfg, state)
     assert start_epoch == 1
     assert int(state.step) == 2  # restored optimizer step count
+
+
+def test_multiview_padded_batch_matches_divisible(tiny_cfg):
+    """24 clips at global batch 8 (divisible) vs global batch 16 (final
+    batch padded by cycling indices): identical accuracy proves the meter
+    dedups padded duplicate views (round-1 review finding)."""
+    from dist_tpu.tasks.test import test as test_task
+
+    cfg = tiny_cfg.deep_copy()
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 3
+    cfg.TEST.NUM_SPATIAL_CROPS = 1
+    cfg.TEST.BATCH_SIZE = 1  # x8 devices -> 24 % 8 == 0
+    divisible = test_task(cfg)
+    cfg.TEST.BATCH_SIZE = 2  # x8 devices -> 24 % 16 == 8, pads 8 dups
+    padded = test_task(cfg)
+    assert divisible["top1_acc"] == padded["top1_acc"]
+    assert divisible["top5_acc"] == padded["top5_acc"]

@@ -82,3 +82,43 @@ def test_feature_map_intermediates():
     preds, feats = model.apply_with_intermediates(variables, {"video": video})
     assert preds.shape == (1, 3)
     assert "conv1" in feats and "conv2" in feats
+
+
+def test_testmeter_dedups_padded_views():
+    """The loader pads the final batch by cycling earlier indices; a
+    duplicated view must not be double-counted (round-1 review finding)."""
+    m = TestMeter(num_videos=2, num_clips=3, num_cls=4, cfg=_cfg())
+    preds = np.array([
+        [0.1, 0.6, 0.2, 0.1],
+        [0.2, 0.5, 0.2, 0.1],
+        [0.5, 0.3, 0.1, 0.1],
+        [0.1, 0.1, 0.7, 0.1],
+        [0.1, 0.2, 0.6, 0.1],
+        [0.1, 0.1, 0.5, 0.3],
+    ])
+    labels = np.array([1, 1, 1, 2, 2, 2])
+    m.update_stats(preds, labels, np.arange(6))
+    expected = m.video_preds.copy()
+    # padded batch re-delivers views 0 and 1
+    m.update_stats(preds[:2], labels[:2], np.array([0, 1]))
+    assert np.array_equal(m.video_preds, expected)
+    assert (m.clip_count == 3).all()
+    m.reset()
+    m.update_stats(preds, labels, np.arange(6))
+    assert np.array_equal(m.video_preds, expected)  # reset clears seen
+
+
+def test_epic_meter_dedups_padded_views():
+    m = EpicKitchenMeter(num_videos=1, num_clips=2, num_cls=(3, 4), cfg=_cfg())
+    verb = np.array([[0.7, 0.2, 0.1], [0.6, 0.3, 0.1]])
+    noun = np.array([[0.1, 0.8, 0.05, 0.05], [0.2, 0.7, 0.05, 0.05]])
+    labels = {"verb_class": np.array([0, 0]), "noun_class": np.array([1, 1])}
+    m.update_stats({"verb_class": verb, "noun_class": noun}, labels,
+                   np.array([0, 1]))
+    expected = {k: v.copy() for k, v in m.video_preds.items()}
+    m.update_stats({"verb_class": verb[:1], "noun_class": noun[:1]},
+                   {"verb_class": labels["verb_class"][:1],
+                    "noun_class": labels["noun_class"][:1]}, np.array([0]))
+    for k in expected:
+        assert np.array_equal(m.video_preds[k], expected[k])
+    assert (m.clip_count == 2).all()
