@@ -27,9 +27,9 @@ CONTEXT_LENGTH = 77
 
 _VOCAB_CANDIDATES = [
     os.environ.get("DIST_TPU_BPE_PATH", ""),
+    # bundled copy of OpenAI CLIP's public BPE vocabulary
     os.path.join(os.path.dirname(__file__), "..", "..", "assets",
                  "bpe_simple_vocab_16e6.txt.gz"),
-    "/root/reference/dataset/utils/bpe_simple_vocab_16e6.txt.gz",
 ]
 
 

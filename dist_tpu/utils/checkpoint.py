@@ -91,6 +91,45 @@ def _is_torch_ckpt(path):
     return path.endswith((".pyth", ".pt", ".pth"))
 
 
+def _pop_heads(tree):
+    """Drop head params from a loaded tree (reference POP_HEAD,
+    checkpoint.py:193-200) so fine-tunes keep the fresh head init."""
+    if not isinstance(tree, dict):
+        return tree
+    return {k: _pop_heads(v) for k, v in tree.items() if "head" not in k}
+
+
+def _walk_preprocess(cfg, tree):
+    """Apply pos-embed / patch-embed adaptation to every backbone subtree
+    (identified by its ``pos_embd`` / ``stem`` keys)."""
+    from dist_tpu.utils.ckpt_preprocess import preprocess_params
+
+    if not isinstance(tree, dict):
+        return tree
+    if "pos_embd" in tree or isinstance(tree.get("stem"), dict):
+        return preprocess_params(cfg, tree)
+    return {k: _walk_preprocess(cfg, v) for k, v in tree.items()}
+
+
+def preprocess_loaded(cfg, loaded, template):
+    """Checkpoint adaptation before the structural merge, honoring the
+    reference's gates (utils/checkpoint.py:184-274 checkpoint_preprocess,
+    310-325 inflation): ``TRAIN.CHECKPOINT_PRE_PROCESS.ENABLE`` drives
+    POP_HEAD/pos-embed/patch-embed adaptation, ``TRAIN.CHECKPOINT_INFLATE``
+    drives I3D-style 2D->3D conv inflation against the model template."""
+    pp = cfg.TRAIN.get("CHECKPOINT_PRE_PROCESS")
+    if pp and pp.get("ENABLE"):
+        logger.info("Preprocessing given checkpoint.")
+        if cfg.TRAIN.get("FINE_TUNE") and pp.get("POP_HEAD"):
+            logger.info("Popping heads.")
+            loaded = _pop_heads(loaded)
+        loaded = _walk_preprocess(cfg, loaded)
+    if cfg.TRAIN.get("CHECKPOINT_INFLATE"):
+        from dist_tpu.utils.ckpt_preprocess import inflate_2d_to_3d
+        loaded = inflate_2d_to_3d(loaded, template)
+    return loaded
+
+
 def load_torch_variables(cfg, path, variables_template):
     """Convert a torch checkpoint into our variables tree, verifying leaf
     shapes against the template."""
@@ -105,6 +144,7 @@ def load_torch_variables(cfg, path, variables_template):
     params, _ = convert_clip_params(sd, with_dist=dist_cfg)
 
     template = variables_template["params"]
+    params = preprocess_loaded(cfg, params, template)
     merged, missing, unexpected = merge_into_template(template, params)
     if missing:
         logger.info("Keys in model not matched: %s", missing[:20])
@@ -171,8 +211,9 @@ def load_train_checkpoint(cfg, state):
             state = state.replace(variables=variables)
         else:
             restored = load_checkpoint(ckpt)
-            merged, m, u = merge_into_template(state.variables,
-                                               restored.get("variables", restored))
+            loaded = preprocess_loaded(
+                cfg, restored.get("variables", restored), state.variables)
+            merged, m, u = merge_into_template(state.variables, loaded)
             state = state.replace(variables=merged)
         logger.info("Fine-tune init from %s (epoch reset)", ckpt)
     return state, 0

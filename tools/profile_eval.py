@@ -1,0 +1,172 @@
+#!/usr/bin/env python3
+"""Component-level timing of the flagship DiST B/16 8+16f eval step on the
+real chip. Times each piece with the device_get sync (block_until_ready does
+not synchronize through the axon tunnel) and prints one JSON line per
+component, so the perf work can attack the real top sinks instead of guesses.
+
+Components:
+  matmul_peak   8192^3 bf16 matmul chain  (speed-of-light calibration)
+  full_eval     the bench.py forward (uint8 prep + tower + dist + cosine)
+  tower_taps    VisionTransformer WITH per-layer taps (the DiST input path)
+  tower_notaps  VisionTransformer without taps (tap-write overhead)
+  dist_net      DiSTNetwork alone on dummy taps + video
+  attn_kernel   fused attention at the tower shape (64, 197, 12*64*3)
+  ln_gelu       LayerNorm+QuickGELU micro at tower activation shapes
+
+Usage: PYTHONPATH=/root/repo python tools/profile_eval.py [components...]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+ITERS = int(os.environ.get("BENCH_ITERS", "40"))
+
+
+def main():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/tmp/dist_tpu_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dist_tpu.config import load_config
+    from dist_tpu.models.base.models import build_model
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(
+        os.path.join(repo, "configs/projects/dist/ssv2/vit-b16-8+16f.yaml"),
+        opts=["TRAIN.BATCH_SIZE", str(BATCH)], make_output_dir=False)
+
+    want = set(sys.argv[1:]) or {
+        "matmul_peak", "full_eval", "tower_taps", "tower_notaps",
+        "dist_net", "attn_kernel", "ln_gelu"}
+
+    def sync(x):
+        return np.asarray(jax.device_get(jax.tree_util.tree_leaves(x)[0].ravel()[:1]))
+
+    def bench(name, fn, *args, flops=None, iters=ITERS):
+        t_c0 = time.perf_counter()
+        out = fn(*args)
+        sync(out)
+        compile_s = time.perf_counter() - t_c0
+        for _ in range(3):
+            sync(fn(*args))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        sync(out)
+        dt = (time.perf_counter() - t0) / iters
+        rec = {"component": name, "ms": round(dt * 1e3, 3),
+               "compile_s": round(compile_s, 1)}
+        if flops:
+            rec["tflops"] = round(flops / dt / 1e12, 1)
+        print(json.dumps(rec), flush=True)
+        return dt
+
+    rng = jax.random.PRNGKey(0)
+
+    if "matmul_peak" in want:
+        n = 8192
+        a = jax.random.normal(rng, (n, n), jnp.bfloat16)
+
+        @jax.jit
+        def chain(a):
+            x = a
+            for _ in range(8):
+                x = x @ a
+            return x
+
+        bench("matmul_peak", chain, a, flops=8 * 2 * n ** 3, iters=10)
+
+    model = build_model(cfg)
+    frames = int(cfg.DATA.NUM_INPUT_FRAMES)
+    video_u8 = jax.random.randint(
+        rng, (BATCH, frames, 224, 224, 3), 0, 255, jnp.int32).astype(jnp.uint8)
+    variables = model.init(rng, {"video": video_u8.astype(jnp.float32)})
+    n_cls = int(cfg.VIDEO.HEAD.NUM_CLASSES)
+    text_features = jax.random.normal(rng, (n_cls, 512), jnp.float32)
+
+    from dist_tpu.tasks.state import _prep_video
+
+    if "full_eval" in want:
+        @jax.jit
+        def full(variables, video, tf):
+            preds, _ = model.apply(
+                variables, {"video": _prep_video(cfg, video),
+                            "text_features": tf}, train=False)
+            return preds
+
+        bench("full_eval", full, variables, video_u8, text_features,
+              flops=170e9 * BATCH)
+
+    clip = model.module  # CLIPDiSTModel
+    clip_vars = {"params": variables["params"]}
+    video_f = jnp.asarray(_prep_video(cfg, video_u8), jnp.float32)
+
+    if "tower_taps" in want:
+        @jax.jit
+        def tower_t(v, video):
+            return clip.apply(v, video, collect_taps=True,
+                              method=lambda m, vid, collect_taps:
+                              m.visual(vid, collect_taps=collect_taps))
+
+        bench("tower_taps", tower_t, clip_vars, video_f,
+              flops=17.5e9 * BATCH * frames // 2)
+
+    if "tower_notaps" in want:
+        @jax.jit
+        def tower_n(v, video):
+            return clip.apply(v, video, collect_taps=False,
+                              method=lambda m, vid, collect_taps:
+                              m.visual(vid, collect_taps=collect_taps))
+
+        bench("tower_notaps", tower_n, clip_vars, video_f,
+              flops=17.5e9 * BATCH * frames // 2)
+
+    if "dist_net" in want:
+        t = frames // int(cfg.DATA.SPARSE_SAMPLE_ALPHA)
+        n_sel = len(cfg.VIDEO.BACKBONE.DIST.SELECTED_LAYERS)
+        taps = jax.random.normal(
+            rng, (n_sel, BATCH * t, 197, 768), jnp.bfloat16)
+
+        @jax.jit
+        def dnet(v, video, taps):
+            return clip.apply(
+                v, video, taps,
+                method=lambda m, vid, tp: m.dist_net(vid, tp))
+
+        bench("dist_net", dnet, clip_vars, video_f, taps)
+
+    if "attn_kernel" in want:
+        from dist_tpu.ops.attention import fused_attention_qkv
+        bt = BATCH * frames // 2
+        qkv = jax.random.normal(rng, (bt, 197, 3 * 768), jnp.bfloat16)
+        f = jax.jit(lambda q: fused_attention_qkv(q, 12, False))
+        # x12: one tower's worth of attention layers
+        bench("attn_kernel_x1", f, qkv,
+              flops=2 * 197 * 197 * 64 * 2 * bt * 12)
+
+    if "ln_gelu" in want:
+        from dist_tpu.models.base.blocks import LayerNorm, quick_gelu
+        import flax.linen as nn
+        bt = BATCH * frames // 2
+        x = jax.random.normal(rng, (bt, 197, 768), jnp.bfloat16)
+        ln = LayerNorm()
+        lv = ln.init(rng, x)
+        f = jax.jit(lambda v, x: quick_gelu(ln.apply(v, x)))
+        bench("ln_gelu_x1", f, lv, x)
+
+
+if __name__ == "__main__":
+    main()
