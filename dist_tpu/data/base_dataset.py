@@ -188,6 +188,29 @@ class BaseVideoDataset(abc.ABC):
     def _decode_video(self, sample_info, index, rng):
         clip_idx, spatial_idx = self._view_indices(index)
         num_frames, fps = probe_video(sample_info["path"])
+        n_clips = 1
+        if self.ssl_generator is not None and self.split == "train":
+            # SSL pretraining decodes NUM_CLIPS_PER_VIDEO temporally
+            # DISTINCT clips per sample (reference base_dataset.py:285-299);
+            # each clip draws its own random frame indices
+            n_clips = int(self.cfg.PRETRAIN.get("NUM_CLIPS_PER_VIDEO", 1))
+        if n_clips > 1:
+            index_lists = [
+                sampling.get_frame_indices(
+                    self.cfg, num_frames, fps, clip_idx,
+                    self.cfg.TEST.NUM_ENSEMBLE_VIEWS, rng=rng,
+                    random_sample=True)
+                for _ in range(n_clips)
+            ]
+            # one decoder pass over the union of indices (the decoders
+            # accept arbitrary index lists; per-clip calls would rescan)
+            all_idx = np.concatenate(index_lists)
+            frames_all = read_video(sample_info["path"], all_idx)
+            clips, s = [], 0
+            for lst in index_lists:
+                clips.append(frames_all[s:s + len(lst)])
+                s += len(lst)
+            return clips, spatial_idx
         indices = sampling.get_frame_indices(
             self.cfg, num_frames, fps, clip_idx,
             self.cfg.TEST.NUM_ENSEMBLE_VIEWS, rng=rng,

@@ -106,12 +106,21 @@ class Synthetic(BaseVideoDataset):
     def _decode_video(self, sample_info, index, rng):
         clip_idx, spatial_idx = self._view_indices(index)
         vid = int(sample_info["path"].split("//")[1])
-        g = np.random.default_rng(vid)
         size = max(self.cfg.DATA.TRAIN_CROP_SIZE, self.cfg.DATA.TEST_CROP_SIZE,
                    self.cfg.DATA.TEST_SCALE)
-        frames = g.integers(0, 256,
-                            (self._num_frames, size, size, 3), dtype=np.uint8)
-        return frames, spatial_idx
+
+        def clip(seed):
+            g = np.random.default_rng(seed)
+            return g.integers(0, 256, (self._num_frames, size, size, 3),
+                              dtype=np.uint8)
+
+        if self.ssl_generator is not None and self.split == "train":
+            n_clips = int(self.cfg.PRETRAIN.get("NUM_CLIPS_PER_VIDEO", 1))
+            if n_clips > 1:
+                # distinct "temporal positions" = distinct seeds
+                return [clip((vid, i).__hash__() & 0x7FFFFFFF)
+                        for i in range(n_clips)], spatial_idx
+        return clip(vid), spatial_idx
 
     def _load_dataset_labels(self, cfg):
         from dist_tpu.data.tokenizer import tokenize

@@ -151,6 +151,26 @@ def color_jitter_clip(frames, rng, brightness=0, contrast=0, saturation=0,
     return (np.clip(x, 0, 1) * 255).astype(np.uint8)
 
 
+def gaussian_blur_clip(frames, rng, sigma_range=(0.1, 2.0)):
+    """SimCLR-style Gaussian blur on uint8 (T,H,W,C): one sigma drawn
+    uniformly per clip, kernel ~10% of the short side (odd).
+
+    The reference's SSL blur constructs ``GaussianBlur(kernel_size=1)``
+    (sslgenerators/contrastive_learning/augmentations.py:141) which is an
+    identity filter — a defect; this implements the intended SimCLR blur.
+    """
+    import cv2
+    sigma = float(rng.uniform(*sigma_range))
+    k = min(frames.shape[1], frames.shape[2]) // 10
+    k = max(k | 1, 3)  # odd, >= 3
+    out = np.empty(frames.shape, frames.dtype)
+    for i in range(frames.shape[0]):
+        # cv2 requires contiguous input (flip produces negative strides)
+        out[i] = cv2.GaussianBlur(np.ascontiguousarray(frames[i]), (k, k),
+                                  sigma)
+    return out
+
+
 # --------------------------------------------------------------------------
 # device side (jax, inside jit)
 

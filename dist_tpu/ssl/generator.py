@@ -44,6 +44,11 @@ class ContrastiveGenerator:
                 scale=(0.2, 1.0), ratio=tuple(cfg.AUGMENTATION.RATIO), rng=rng)
             if rng.uniform() < 0.5:
                 v = transforms.horizontal_flip(v)
+            blur_p = float(cfg.AUGMENTATION.get("BLUR", 0.0) or 0.0)
+            if blur_p > 0 and rng.uniform() < blur_p:
+                # SimCLR blur (the reference constructs an identity
+                # kernel_size=1 blur here — see gaussian_blur_clip)
+                v = transforms.gaussian_blur_clip(v, rng)
             v = transforms.color_jitter_clip(
                 v, rng,
                 brightness=cfg.AUGMENTATION.BRIGHTNESS,

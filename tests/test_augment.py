@@ -57,3 +57,52 @@ def test_mixup_lam_correction_bounds():
     # in mixed[0] equals 1 - lam = target weight on label 1
     frac = float(np.asarray(mixed[0]).mean())
     np.testing.assert_allclose(float(target[0, 1]), frac, atol=1e-5)
+
+
+def test_autoaugment_policies_and_augmix():
+    """Policy-table AutoAugment + AugMix through the factory
+    (reference auto_augment.py:358-525, 744-867)."""
+    from dist_tpu.data.rand_augment import (
+        AugMixAugment, AutoAugment, apply_op)
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+
+    for name in ("v0", "v0r", "original", "originalr"):
+        aa = create_auto_augmentation(name)
+        assert isinstance(aa, AutoAugment) and aa.policy_name == name
+        out = aa(frames, np.random.default_rng(1))
+        assert out.shape == frames.shape and out.dtype == np.uint8
+
+    aa = create_auto_augmentation("original-mstd0.5")
+    assert aa.mag_std == 0.5
+
+    am = create_auto_augmentation("augmix-m5-w4-d2")
+    assert isinstance(am, AugMixAugment)
+    assert am.magnitude == 5 and am.width == 4 and am.depth == 2
+    out = am(frames, np.random.default_rng(2))
+    assert out.shape == frames.shape and out.dtype == np.uint8
+    assert not np.array_equal(out, frames)
+
+    # every op in every policy/pool is executable at its table magnitude
+    from dist_tpu.data.rand_augment import (_AUGMIX_TRANSFORMS, _POLICIES,
+                                            _RAND_INCREASING)
+    names = set(_RAND_INCREASING) | set(_AUGMIX_TRANSFORMS)
+    for pol in _POLICIES.values():
+        for sub in pol:
+            names |= {n for n, _, _ in sub}
+    for n in sorted(names):
+        out = apply_op(n, frames, 7.0, np.random.default_rng(3))
+        assert out.shape == frames.shape, n
+
+
+def test_solarize_add_and_posterize_levels():
+    from dist_tpu.data.rand_augment import apply_op
+
+    frames = np.arange(256, dtype=np.uint8).reshape(1, 16, 16, 1)
+    rng = np.random.default_rng(0)
+    out = apply_op("SolarizeAdd", frames, 10.0, rng)  # add=110 below 128
+    assert out[0, 0, 0, 0] == 110 and out[0, 15, 15, 0] == 255
+    # PosterizeOriginal keeps >= 4 bits even at level 0
+    out = apply_op("PosterizeOriginal", frames, 0.0, rng)
+    assert len(np.unique(out)) >= 16

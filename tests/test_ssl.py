@@ -113,3 +113,47 @@ def test_hico_pretrain_step():
     before = jax.tree_util.tree_leaves(state.variables["head"])[0]
     after = jax.tree_util.tree_leaves(new_state.variables["head"])[0]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_multi_clip_ssl_decode_and_blur(tmp_path):
+    """SSL pretraining decodes NUM_CLIPS_PER_VIDEO temporally DISTINCT clips
+    (reference base_dataset.py:285-299); views must differ at the source,
+    not just by augmentation, and the SimCLR blur must actually blur."""
+    from dist_tpu.data.builder import build_dataset
+    from dist_tpu.data.transforms import gaussian_blur_clip
+
+    cfg = load_config(
+        os.path.join(REPO, "configs/projects/dist/test/tiny_synth.yaml"),
+        opts=["OUTPUT_DIR", str(tmp_path)])
+    cfg.PRETRAIN = Config({
+        "ENABLE": True,
+        "GENERATOR": "ContrastiveGenerator",
+        "NUM_CLIPS_PER_VIDEO": 2,
+        "LOSS": "Contrastive",
+    })
+    cfg.AUGMENTATION.BLUR = 0.0
+    ds = build_dataset(cfg, "train")
+    clips, _ = ds._decode_video(ds._get_sample_info(0), 0,
+                                np.random.default_rng(0))
+    assert isinstance(clips, list) and len(clips) == 2
+    assert not np.array_equal(clips[0], clips[1])
+    item = ds[0]
+    assert item["video"].shape[0] == 2
+    assert list(item["contrastive"]) == [0, 1]
+
+    # blur: high-frequency energy must drop
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)
+    blurred = gaussian_blur_clip(frames, np.random.default_rng(1),
+                                 sigma_range=(2.0, 2.0))
+    def hf(x):
+        d = np.diff(x.astype(np.float32), axis=2)
+        return float(np.abs(d).mean())
+    assert hf(blurred) < 0.5 * hf(frames)
+    assert blurred.shape == frames.shape and blurred.dtype == np.uint8
+
+    # generator applies blur when AUGMENTATION.BLUR is set (flip path too)
+    cfg.AUGMENTATION.BLUR = 1.0
+    ds2 = build_dataset(cfg, "train")
+    item2 = ds2[0]
+    assert item2["video"].shape[0] == 2
