@@ -74,6 +74,54 @@ class DiSTConfig:
         )
 
 
+class TemporalPatchStem(nn.Module):
+    """The dense temporal patch stem — a (tp, p, p) conv with stride
+    (1, p, p) — computed as patchify + ONE fused GEMM + tp shifted adds.
+
+    XLA lowers the 3-D conv itself at ~7 TFLOP/s on v5e (measured 2.65 ms
+    at the flagship shape); spatial windows don't overlap (stride == patch)
+    so the conv is exactly ``X_patches @ W`` per temporal tap. Doing all tp
+    taps in one (M, 768) x (768, tp*C) GEMM and summing tp shifted slices
+    of the small output runs the same math at GEMM speed (~0.4 ms).
+
+    Param tree matches ``nn.Conv`` (kernel (tp, p, p, 3, C) + bias) so
+    checkpoints are layout-compatible.
+    """
+
+    channels: int
+    t_patch: int
+    s_patch: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, video):
+        # video (B, T, H, W, 3)
+        tp, p, c = self.t_patch, self.s_patch, self.channels
+        b, t, h, w, ci = video.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (tp, p, p, ci, c), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        x = video.astype(self.dtype)
+        hh, ww = h // p, w // p
+        # patchify: (B,T,hh,p,ww,p,ci) -> (B,T,hh,ww,p,p,ci) -> (B,T,HW,p*p*ci)
+        x = x.reshape(b, t, hh, p, ww, p, ci)
+        x = x.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, t, hh * ww, p * p * ci)
+        w_all = kernel.astype(self.dtype).reshape(tp, p * p * ci, c)
+        w_all = jnp.transpose(w_all, (1, 0, 2)).reshape(p * p * ci, tp * c)
+        y = x @ w_all  # (B, T, HW, tp*C)
+        y = y.reshape(b, t, hh * ww, tp, c)
+        # cross-correlation over the temporal taps: out[t] = sum_d y[t+d-tp//2, d]
+        pad = tp // 2
+        ypad = jnp.pad(y, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
+        out = ypad[:, 0:t, :, 0, :]
+        for d in range(1, tp):
+            out = out + ypad[:, d:d + t, :, d, :]
+        out = out + bias.astype(self.dtype)
+        return out.reshape(b, t, hh, ww, c)
+
+
 class TemporalNet(nn.Module):
     """Residual temporal conv block (dist.py:48-65):
     qgelu(x + conv(1,3,3)(qgelu(conv(k,1,1)(LN(x)))))  on (B,T,H,W,C)."""
@@ -252,12 +300,12 @@ class DiSTNetwork(nn.Module):
         p = self.cfg.s_patch_size
         tp = self.cfg.t_patch_size
 
-        # dense temporal stem over ALL frames (dist.py:178-181,225)
-        x_temporal = nn.Conv(
-            self.cfg.temporal_dim, (tp, p, p), strides=(1, p, p),
-            padding=((tp // 2, tp // 2), (0, 0), (0, 0)),
-            dtype=self.dtype, param_dtype=jnp.float32, name="temporal_stem",
-        )(video.astype(self.dtype))
+        # dense temporal stem over ALL frames (dist.py:178-181,225), as a
+        # patchify+GEMM (see TemporalPatchStem; conv-equivalent params)
+        x_temporal = TemporalPatchStem(
+            channels=self.cfg.temporal_dim, t_patch=tp, s_patch=p,
+            dtype=self.dtype, name="temporal_stem",
+        )(video)
 
         Ladder = nn.scan(
             _LadderStep,

@@ -150,3 +150,28 @@ def test_full_model_logits_parity(sd, converted):
     g_logits = float(np.exp(sd["logit_scale"])) * v @ t_feats.T
 
     np.testing.assert_allclose(logits, g_logits.numpy(), atol=5e-5)
+
+
+def test_temporal_patch_stem_equals_conv():
+    """TemporalPatchStem (patchify+GEMM) must match the nn.Conv it
+    replaces bit-for-bit up to float association (same param tree)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dist_tpu.models.dist.dist_net import TemporalPatchStem
+
+    tp, p, c = 5, 8, 16
+    stem = TemporalPatchStem(channels=c, t_patch=tp, s_patch=p)
+    conv = nn.Conv(c, (tp, p, p), strides=(1, p, p),
+                   padding=((tp // 2, tp // 2), (0, 0), (0, 0)),
+                   param_dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    video = jax.random.normal(rng, (2, 6, 24, 24, 3), jnp.float32)
+    sv = stem.init(rng, video)
+    out_stem = stem.apply(sv, video)
+    out_conv = conv.apply({"params": {"kernel": sv["params"]["kernel"],
+                                      "bias": sv["params"]["bias"]}}, video)
+    assert out_stem.shape == out_conv.shape == (2, 6, 3, 3, c)
+    np.testing.assert_allclose(np.asarray(out_stem), np.asarray(out_conv),
+                               rtol=2e-5, atol=2e-5)

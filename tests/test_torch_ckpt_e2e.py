@@ -52,3 +52,69 @@ def test_torch_checkpoint_drives_test_task(torch_ckpt, tmp_path_factory):
     # determinism with the converted weights
     stats2 = test_task(cfg)
     assert stats == stats2
+
+
+def _module_from_state_dict(sd, dtype):
+    """Build a scriptable torch module whose state_dict reproduces ``sd``
+    (stands in for the released TorchScript CLIP archives, which store
+    fp16 weights; models/base/clip.py:540-561)."""
+    import torch
+
+    class Leafless(torch.nn.Module):
+        def forward(self):  # pragma: no cover - jit requires a forward
+            return torch.zeros(1)
+
+    root = Leafless()
+    for k, v in sd.items():
+        parts = k.split(".")
+        m = root
+        for p in parts[:-1]:
+            if not hasattr(m, p):
+                m.add_module(p, Leafless())
+            m = getattr(m, p)
+        t = torch.from_numpy(np.asarray(v)).to(dtype)
+        m.register_parameter(parts[-1], torch.nn.Parameter(t, requires_grad=False))
+    return root
+
+
+def test_fp16_jit_archive_matches_fp32_pickle(torch_ckpt, tmp_path_factory):
+    """Released checkpoints are fp16 TorchScript archives; loading one must
+    produce (near-)identical predictions to the fp32 pickle path
+    (fp16-storage / fp32-math, reference clip.py:540-561)."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from dist_tpu.models.base.models import build_model
+    from dist_tpu.utils import checkpoint as cu
+
+    out = str(tmp_path_factory.mktemp("out_fp16"))
+    cfg = load_config(CFG, opts=["OUTPUT_DIR", out])
+
+    blob = torch.load(torch_ckpt, weights_only=False)
+    sd = {k: v.numpy() for k, v in blob["model_state"].items()}
+
+    # fp16 TorchScript archive with the same weights
+    scripted = torch.jit.script(_module_from_state_dict(sd, torch.float16))
+    jit_path = os.path.join(out, "released_fp16.pt")
+    torch.jit.save(scripted, jit_path)
+
+    model = build_model(cfg)
+    video = jnp.zeros((1, 4, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), {"video": video})
+
+    v32 = cu.load_torch_variables(cfg, torch_ckpt, variables)
+    v16 = cu.load_torch_variables(cfg, jit_path, variables)
+
+    # all leaves restored as fp32 (fp16 storage never leaks into math)
+    for leaf in jax.tree_util.tree_leaves(v16["params"]):
+        assert np.asarray(leaf).dtype == np.float32
+
+    rng = jax.random.PRNGKey(1)
+    x = jax.random.normal(rng, (2, 4, 64, 64, 3), jnp.float32)
+    tf = jax.random.normal(jax.random.PRNGKey(2), (12, 32), jnp.float32)
+    p32, _ = model.apply(v32, {"video": x, "text_features": tf}, train=False)
+    p16, _ = model.apply(v16, {"video": x, "text_features": tf}, train=False)
+    p32, p16 = np.asarray(p32, np.float32), np.asarray(p16, np.float32)
+    # fp16 storage rounding only: outputs agree tightly
+    assert np.max(np.abs(p32 - p16)) < 5e-2
+    assert np.corrcoef(p32.ravel(), p16.ravel())[0, 1] > 0.999
