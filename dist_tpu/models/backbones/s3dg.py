@@ -146,4 +146,8 @@ class Inception3D(nn.Module):
                              name="Mixed_5b")(x, train)
         x = InceptionBlock3D(_INCEPTION_PLAN["Mixed_5c"][1], gating, use_st,
                              name="Mixed_5c")(x, train)
+        assert all(s > 0 for s in x.shape), (
+            f"S3D-G collapsed a dimension to zero ({x.shape}) — the input "
+            f"clip is too short/small for the temporal/spatial downsampling "
+            f"(needs >= 8 frames); a zero-sized pool yields NaN features")
         return x

@@ -141,6 +141,10 @@ class VideoModel:
     def init(self, rng, sample_inputs):
         variables = {}
         video = sample_inputs["video"]
+        if hasattr(video, "ndim") and video.ndim == 6:
+            # SSL multi-view batches arrive (B, n_views, T, H, W, C); the
+            # backbone sees the flattened view axis exactly as in apply()
+            video = video.reshape((-1,) + video.shape[2:])
         if self._is_clip:
             ctx_len = self.module.arch.context_length
             tokens = jnp.ones((1, ctx_len), jnp.int32)
@@ -157,8 +161,12 @@ class VideoModel:
         if self.head is not None and _head_has_params(self.head):
             if out is None:
                 out = self.module.apply({"params": mvars["params"]}, video)
-            hp = self.head.init(jax.random.fold_in(rng, 1), out)["params"]
-            variables["head"] = hp
+            hv = self.head.init(jax.random.fold_in(rng, 1), out)
+            variables["head"] = hv["params"]
+            if "batch_stats" in hv:
+                # heads with BatchNorm (contrastive projection MLPs with
+                # HEAD_BN) carry running stats of their own
+                variables["head_stats"] = hv["batch_stats"]
         return variables
 
     def apply(self, variables, inputs, train=True, rngs=None,
@@ -176,7 +184,7 @@ class VideoModel:
         mvars = {"params": variables["params"]}
         if "batch_stats" in variables:
             mvars["batch_stats"] = variables["batch_stats"]
-        new_stats = None
+        new_stats = {}
         # BN.FREEZE runs BatchNorm on running stats even while training
         # (reference BaseVideoModel.train, models/base/models.py:60-67)
         freeze_bn = bool(self.cfg.BN.get("FREEZE", False)) if self.cfg else False
@@ -187,15 +195,24 @@ class VideoModel:
         elif "batch_stats" in mvars and bb_train:
             out, updated = self.module.apply(
                 mvars, video, train=True, rngs=rngs, mutable=["batch_stats"])
-            new_stats = updated["batch_stats"]
+            new_stats["batch_stats"] = updated["batch_stats"]
         else:
             out = self.module.apply(mvars, video, train=bb_train, rngs=rngs)
         if self.head is None:
             preds, logits = out, out
         else:
             head_vars = {"params": variables.get("head", {})}
-            preds, logits = self.head.apply(head_vars, out, train=train,
-                                            rngs=rngs)
+            if "head_stats" in variables:
+                head_vars["batch_stats"] = variables["head_stats"]
+            if "head_stats" in variables and bb_train:
+                (preds, logits), hupd = self.head.apply(
+                    head_vars, out, train=train, rngs=rngs,
+                    mutable=["batch_stats"])
+                new_stats["head_stats"] = hupd["batch_stats"]
+            else:
+                preds, logits = self.head.apply(head_vars, out, train=train,
+                                                rngs=rngs)
+        new_stats = new_stats or None
         if (self.cfg is not None and self.cfg.MODEL.get("NAME") == "MoSINet"
                 and not isinstance(preds, dict)):
             # MoSI pretext task wraps predictions under "move_joint"

@@ -100,6 +100,50 @@ class _PairScorer(nn.Module):
         return nn.Dense(1, name="fc2")(h)
 
 
+class TopicalPredictorPlusPlus(nn.Module):
+    """HiCo++ topical predictor (contrastive_head.py:189-217): embeddings of
+    ADJACENT VIEW PAIRS are averaged before the symmetric pairwise map, so
+    the topical map scores (N/2, N/2) pair groups."""
+
+    cfg: Any
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        c = self.cfg.PRETRAIN.CONTRASTIVE
+        z = ProjectionMLP(
+            mid_dim=int(c.HEAD_MID_DIM), out_dim=int(c.HEAD_OUT_DIM),
+            with_bn=bool(c.get("HEAD_BN", False)), name="mlp",
+        )(x, train)
+        n, d = z.shape
+        z = z.reshape(n // 2, 2, d).mean(axis=1)
+        m = n // 2
+        a = jnp.broadcast_to(z[:, None, :], (m, m, d))
+        b = jnp.broadcast_to(z[None, :, :], (m, m, d))
+        pair1 = jnp.concatenate([a, b], axis=-1)
+        pair2 = jnp.concatenate([b, a], axis=-1)
+        mlp = _PairScorer(name="topical_predictor")
+        return jnp.concatenate([mlp(pair1), mlp(pair2)], axis=-1)
+
+
+@HEAD_REGISTRY.register()
+class ContrastiveHeadTopicPredPlusPlus(nn.Module):
+    """HiCo++ head (contrastive_head.py:161-186): VCL projection + the
+    pair-averaged TCL topical map."""
+
+    cfg: Any
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        x = _pool(x)
+        c = self.cfg.PRETRAIN.CONTRASTIVE
+        emb = ProjectionMLP(
+            mid_dim=int(c.HEAD_MID_DIM), out_dim=int(c.HEAD_OUT_DIM),
+            with_bn=bool(c.get("HEAD_BN", False)), name="mlp_vcl",
+        )(x, train)
+        tcl = TopicalPredictorPlusPlus(self.cfg, name="mlp_tcl")(x, train)
+        return tcl, emb
+
+
 @HEAD_REGISTRY.register()
 class ContrastiveHeadTopicPred(nn.Module):
     """VCL projection + TCL topical map (contrastive_head.py:89-127).

@@ -50,9 +50,9 @@ def param_labels(cfg, params):
 
     def label(path, leaf):
         name = _path_str(path)
-        if name.startswith("batch_stats"):
-            # BN running stats update through the forward pass, never the
-            # optimizer
+        if name.startswith("batch_stats") or name.startswith("head_stats"):
+            # BN running stats (backbone or head) update through the forward
+            # pass, never the optimizer
             return FROZEN
         if wb_lock and any(seg == "bn" or seg.endswith("_bn")
                            for seg in name.split("/")):

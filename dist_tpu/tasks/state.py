@@ -111,8 +111,10 @@ def make_train_step(model, cfg, tx, lr_fn):
         updates, opt_state = tx.update(grads, state.opt_state, state.variables)
         variables = optax.apply_updates(state.variables, updates)
         if new_stats is not None:
+            # updated running-stat collections (backbone batch_stats and/or
+            # head_stats) replace their slots wholesale
             variables = dict(variables)
-            variables["batch_stats"] = new_stats
+            variables.update(new_stats)
 
         ema_variables = state.ema_variables
         if ema_decay is not None and ema_variables is not None:

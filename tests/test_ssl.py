@@ -157,3 +157,72 @@ def test_multi_clip_ssl_decode_and_blur(tmp_path):
     ds2 = build_dataset(cfg, "train")
     item2 = ds2[0]
     assert item2["video"].shape[0] == 2
+
+
+def test_hico_plus_plus_head_and_loss_step():
+    """HiCo++ pretrain step with the pair-averaged PlusPlus head
+    (reference contrastive_head.py:161-217)."""
+    from dist_tpu.models.base.models import build_model
+    from dist_tpu.optim.optimizer import construct_optimizer
+    from dist_tpu.tasks.state import create_train_state, make_train_step
+
+    cfg = _ssl_cfg()
+    cfg.PRETRAIN.LOSS = "HiCoPlusPlus"
+    cfg.PRETRAIN.NUM_CLIPS_PER_VIDEO = 4
+    cfg.VIDEO.BACKBONE.META_ARCH = "ResNet3D"
+    cfg.VIDEO.BACKBONE.DEPTH = 10
+    cfg.VIDEO.BACKBONE.NUM_FILTERS = [16, 16, 32, 32, 32]
+    cfg.VIDEO.BACKBONE.NUM_OUT_FEATURES = 32
+    cfg.VIDEO.BACKBONE.KERNEL_SIZE = [[3, 7, 7]] + [[3, 3, 3]] * 4
+    cfg.VIDEO.BACKBONE.DOWNSAMPLING = [True, False, True, True, True]
+    cfg.VIDEO.BACKBONE.DOWNSAMPLING_TEMPORAL = [False, False, True, True, True]
+    cfg.VIDEO.BACKBONE.BRANCH.NAME = "R2Plus1DBranch"
+    cfg.VIDEO.BACKBONE.STEM.NAME = "R2Plus1DStem"
+    cfg.VIDEO.HEAD.NAME = "ContrastiveHeadTopicPredPlusPlus"
+    cfg.VIDEO.HEAD.NUM_CLASSES = 0
+    cfg.DATA.NUM_INPUT_FRAMES = 4
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.OPTIMIZER.OPTIM_METHOD = "sgd"
+
+    model = build_model(cfg)
+    B, n = 2, 4
+    video = jax.random.normal(jax.random.PRNGKey(0), (B, n, 4, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(1),
+                           {"video": video.reshape(B * n, 4, 32, 32, 3)})
+    # the PlusPlus topical map scores PAIR groups: (B*n/2, B*n/2, 2)
+    preds, _ = model.apply(variables,
+                           {"video": video.reshape(B * n, 4, 32, 32, 3)},
+                           train=False)
+    assert preds.shape == (B * n // 2, B * n // 2, 2)
+
+    from dist_tpu.tasks.state import make_train_step
+    tx, lr_fn = construct_optimizer(cfg, variables, steps_per_epoch=10)
+    state = create_train_state(variables, tx)
+    step = jax.jit(make_train_step(model, cfg, tx, lr_fn))
+    batch = {"video": video, "labels": jnp.zeros((B,), jnp.int32),
+             "contrastive": jnp.tile(jnp.arange(n), (B, 1))}
+    _, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_all_project_configs_load_and_linear_probe_labels():
+    """Every shipped YAML loads through the config system; ONLY_LINEAR
+    recipes train only head params (the linear-probe path)."""
+    import glob
+    from dist_tpu.optim.optimizer import FROZEN, param_labels
+
+    repo_cfgs = glob.glob(os.path.join(REPO, "configs/projects/**/*.yaml"),
+                          recursive=True)
+    assert len(repo_cfgs) >= 60
+    linear = []
+    for path in repo_cfgs:
+        cfg = load_config(path, make_output_dir=False)
+        if cfg.TRAIN.get("ONLY_LINEAR"):
+            linear.append(cfg)
+    assert linear, "no ONLY_LINEAR recipe found"
+    cfg = linear[0]
+    params = {"backbone": {"conv": {"kernel": np.zeros((3, 3, 4, 8))}},
+              "head": {"linear": {"kernel": np.zeros((8, 5))}}}
+    labels = param_labels(cfg, params)
+    assert labels["backbone"]["conv"]["kernel"] == FROZEN
+    assert labels["head"]["linear"]["kernel"] != FROZEN
