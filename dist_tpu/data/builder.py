@@ -118,12 +118,34 @@ class Loader:
         stop = threading.Event()
 
         def produce():
+            # decode is pipelined ACROSS batch boundaries: a bounded window
+            # of per-sample futures stays in flight, so workers start batch
+            # k+1 while batch k is being stacked / consumed (the reference's
+            # DataLoader gets this from per-worker prefetching,
+            # dataset/base/builder.py:46-93)
+            from collections import deque
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for chunk in batches:
-                        if stop.is_set():
-                            break
-                        samples = list(pool.map(self.dataset.__getitem__, chunk))
+                    chunks = deque(batches)
+                    chunk_futs = deque()
+                    inflight = 0
+                    bound = self.batch_size * (max(self.prefetch, 1) + 1)
+
+                    def refill():
+                        nonlocal inflight
+                        while chunks and inflight < bound:
+                            chunk = chunks.popleft()
+                            futs = [pool.submit(self.dataset.__getitem__,
+                                                int(i)) for i in chunk]
+                            inflight += len(futs)
+                            chunk_futs.append(futs)
+
+                    refill()
+                    while chunk_futs and not stop.is_set():
+                        futs = chunk_futs.popleft()
+                        samples = [f.result() for f in futs]
+                        inflight -= len(futs)
+                        refill()  # keep workers busy while we stack + block
                         batch = {
                             k: np.stack([s[k] for s in samples])
                             for k in samples[0]

@@ -51,11 +51,15 @@ def create_train_state(variables, tx, ema_decay=None):
     )
 
 
-def make_train_step(model, cfg, tx, lr_fn):
+def make_train_step(model, cfg, tx, lr_fn, mesh=None):
     """Build the jitted train step.
 
     step(state, batch, rng) -> (new_state, metrics)
     batch = {"video": (B,T,H,W,3), "labels": (B,), "text_features": opt}
+
+    ``mesh``: when given, per-sample batch tensors are pinned to the data
+    axis with with_sharding_constraint so XLA's SPMD propagation can't
+    silently replicate activations under dp x tp meshes.
     """
     mixup_on = bool(cfg.AUGMENTATION.MIXUP.ENABLE or cfg.AUGMENTATION.CUTMIX.ENABLE)
     mc = MixupConfig.from_cfg(cfg) if mixup_on else None
@@ -66,8 +70,20 @@ def make_train_step(model, cfg, tx, lr_fn):
 
     use_device_aug = bool(cfg.AUGMENTATION.get("USE_GPU", False))
 
+    def _pin_data_axis(x):
+        if mesh is None or not hasattr(x, "ndim") or x.ndim == 0:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from dist_tpu.parallel.mesh import DATA_AXIS
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(DATA_AXIS)))
+
     def step(state: TrainState, batch, rng):
-        video = batch["video"]
+        video = _pin_data_axis(batch["video"])
+        batch = dict(batch)
+        for k in ("labels", "label_verb", "label_noun", "contrastive"):
+            if k in batch and batch[k] is not None:
+                batch[k] = _pin_data_axis(batch[k])
         if use_device_aug and video.dtype == jnp.uint8:
             # on-device augmentation (the reference's USE_GPU mode,
             # base_dataset.py:390-392) fused into the step jit

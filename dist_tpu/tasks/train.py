@@ -88,7 +88,7 @@ def train(cfg):
 
     with mesh:
         state = shard_params(mesh, state)
-        train_step = jax.jit(make_train_step(model, cfg, tx, lr_fn),
+        train_step = jax.jit(make_train_step(model, cfg, tx, lr_fn, mesh=mesh),
                              donate_argnums=(0,) if cfg.TPU.DONATE_STATE else ())
         eval_step = jax.jit(make_eval_step(model, cfg))
         ema_enabled = bool(cfg.MODEL.get("EMA") and cfg.MODEL.EMA.ENABLE)

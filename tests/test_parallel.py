@@ -35,3 +35,60 @@ def test_shard_params_places_tp():
 def test_dryrun_multichip_dp_tp():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_tp_step_preserves_param_shardings_and_data_sharded_batch():
+    """dp x tp train step: updated params must RETAIN their model-axis
+    shardings (no silent replication / all-gather of weights into the
+    state), and the batch constraint pins activations to the data axis."""
+    import os
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dist_tpu.config import load_config
+    from dist_tpu.models.base.models import build_model
+    from dist_tpu.optim.optimizer import construct_optimizer
+    from dist_tpu.parallel.mesh import shard_batch
+    from dist_tpu.tasks.state import create_train_state, make_train_step
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    devs = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, (DATA_AXIS, MODEL_AXIS))
+    cfg = load_config(
+        os.path.join(REPO, "configs/projects/dist/test/tiny_synth.yaml"),
+        opts=["TRAIN.BATCH_SIZE", "8", "OUTPUT_DIR", "/tmp/tp_step_test"])
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    video = jax.random.randint(rng, (8, 4, 64, 64, 3), 0, 255,
+                               jnp.int32).astype(jnp.uint8)
+    variables = model.init(rng, {"video": video.astype(jnp.float32)})
+    tx, lr_fn = construct_optimizer(cfg, variables, steps_per_epoch=10)
+    state = create_train_state(variables, tx)
+
+    with mesh:
+        state = shard_params(mesh, state)
+        specs_before = jax.tree_util.tree_map(
+            lambda x: x.sharding.spec if hasattr(x, "sharding") else None,
+            state.variables)
+        batch = shard_batch(mesh, {
+            "video": video, "labels": jnp.arange(8, dtype=jnp.int32) % 12})
+        batch["text_features"] = jax.random.normal(rng, (12, 32), jnp.float32)
+        step = jax.jit(make_train_step(model, cfg, tx, lr_fn, mesh=mesh))
+        new_state, metrics = step(state, batch, rng)
+        jax.block_until_ready(metrics["loss"])
+        specs_after = jax.tree_util.tree_map(
+            lambda x: x.sharding.spec if hasattr(x, "sharding") else None,
+            new_state.variables)
+    # at least one param is model-axis sharded before AND after the step
+    def flat(t):
+        return {"/".join(map(str, p)): v
+                for p, v in jax.tree_util.tree_flatten_with_path(t)[0]}
+    fb, fa = flat(specs_before), flat(specs_after)
+    def norm(spec):
+        t = tuple(spec) if spec is not None else ()
+        while t and t[-1] is None:
+            t = t[:-1]
+        return t
+    tp_keys = [k for k, v in fb.items() if v is not None and MODEL_AXIS in str(v)]
+    assert tp_keys, "no tensor-parallel shardings were placed"
+    for k in tp_keys:
+        assert norm(fa[k]) == norm(fb[k]), (
+            f"{k} lost its TP sharding: {fb[k]} -> {fa[k]}")
