@@ -140,6 +140,20 @@ class Loader:
                             inflight += len(futs)
                             chunk_futs.append(futs)
 
+                    def put(item):
+                        # never block forever: the consumer may abandon the
+                        # iterator (e.g. `next(iter(loader))`), whose finally
+                        # sets `stop`; a hard q.put would pin this thread,
+                        # the pool, and the decoded window for the process
+                        # lifetime
+                        while not stop.is_set():
+                            try:
+                                q.put(item, timeout=0.1)
+                                return True
+                            except queue.Full:
+                                continue
+                        return False
+
                     refill()
                     while chunk_futs and not stop.is_set():
                         futs = chunk_futs.popleft()
@@ -152,10 +166,16 @@ class Loader:
                         }
                         if self.collate_fn is not None:
                             batch = self.collate_fn(batch)
-                        q.put(batch)
-                q.put(None)
+                        if not put(batch):
+                            break
+                    put(None)
             except BaseException as e:  # surface worker failures to the consumer
-                q.put(e)
+                while not stop.is_set():
+                    try:
+                        q.put(e, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()

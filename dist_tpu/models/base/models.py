@@ -204,11 +204,17 @@ class VideoModel:
             head_vars = {"params": variables.get("head", {})}
             if "head_stats" in variables:
                 head_vars["batch_stats"] = variables["head_stats"]
-            if "head_stats" in variables and bb_train:
-                (preds, logits), hupd = self.head.apply(
-                    head_vars, out, train=train, rngs=rngs,
-                    mutable=["batch_stats"])
-                new_stats["head_stats"] = hupd["batch_stats"]
+                if bb_train:
+                    (preds, logits), hupd = self.head.apply(
+                        head_vars, out, train=True, rngs=rngs,
+                        mutable=["batch_stats"])
+                    new_stats["head_stats"] = hupd["batch_stats"]
+                else:
+                    # BN.FREEZE (or eval): head BN runs on running stats;
+                    # BN-carrying heads have no dropout, so train=False is
+                    # the frozen-BN flag here
+                    preds, logits = self.head.apply(head_vars, out,
+                                                    train=False, rngs=rngs)
             else:
                 preds, logits = self.head.apply(head_vars, out, train=train,
                                                 rngs=rngs)
@@ -248,7 +254,9 @@ class VideoModel:
         preds = out
         if self.head is not None:
             head_vars = {"params": variables.get("head", {})}
-            preds, _ = self.head.apply(head_vars, out, train=train)
+            if "head_stats" in variables:
+                head_vars["batch_stats"] = variables["head_stats"]
+            preds, _ = self.head.apply(head_vars, out, train=False)
         return preds, state["intermediates"]
 
 

@@ -37,11 +37,18 @@ class DeviceAugConfig:
     @classmethod
     def from_cfg(cls, cfg):
         aug = cfg.AUGMENTATION
+        # NEVER flip SSV2 on device: its direction-sensitive labels (86/87,
+        # 93/94, 166/167) must be remapped together with the flip, which only
+        # the host path does (base_dataset.py SSV2_FLIP_LABEL_MAP)
+        flip = 0.5
+        if "ssv2" in str(cfg.TRAIN.get("DATASET", "")).lower():
+            flip = 0.0
         return cls(
             brightness=float(aug.BRIGHTNESS), contrast=float(aug.CONTRAST),
             saturation=float(aug.SATURATION), hue=float(aug.HUE),
             grayscale=float(aug.GRAYSCALE),
             color_p=float(aug.get("COLOR_JITTER_P", 0.8) or 0.0),
+            flip=flip,
         )
 
 

@@ -65,6 +65,21 @@ def submission_test(cfg):
                 device_batch["text_features"] = text_features
             metrics = eval_step(state, device_batch)
             preds = jax.device_get(metrics["preds"])
+            ids = batch["index"]
+            if jax.process_count() > 1:
+                # each host evaluates its own index shard; the results file
+                # must carry ALL videos (mirrors tasks/test.py)
+                from jax.experimental import multihost_utils
+
+                def gather(x):
+                    return np.concatenate(multihost_utils.process_allgather(
+                        np.asarray(x), tiled=False))
+
+                ids = gather(ids)
+                preds = ({k: gather(v) for k, v in preds.items()}
+                         if isinstance(preds, dict) else gather(preds))
+            batch = dict(batch)
+            batch["index"] = ids
             for i, idx in enumerate(batch["index"]):
                 if int(idx) in seen:
                     continue

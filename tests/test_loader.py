@@ -65,3 +65,22 @@ def test_host_sharding_partitions_stream():
         shards.append(np.concatenate([b["x"] for b in loader]))
     merged = sorted(np.concatenate(shards))
     assert merged == list(range(8))
+
+
+def test_abandoned_iterator_releases_producer():
+    """`next(iter(loader))` (the task loops' first-batch pattern) must not
+    leave the producer thread blocked on a full queue forever."""
+    import threading
+    import time
+
+    ds = _ToyDataset(64)
+    loader = Loader(ds, batch_size=4, shuffle=False, drop_last=False,
+                    num_workers=2, prefetch=1)
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()  # what GC does when the generator is abandoned
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"

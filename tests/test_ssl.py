@@ -226,3 +226,69 @@ def test_all_project_configs_load_and_linear_probe_labels():
     labels = param_labels(cfg, params)
     assert labels["backbone"]["conv"]["kernel"] == FROZEN
     assert labels["head"]["linear"]["kernel"] != FROZEN
+
+
+def test_bn_freeze_with_batchnorm_head_trains():
+    """BN.FREEZE + a BatchNorm head must run the head on running stats
+    instead of raising an immutable-collection error (round-2 review)."""
+    from dist_tpu.models.base.models import build_model
+    from dist_tpu.optim.optimizer import construct_optimizer
+    from dist_tpu.tasks.state import create_train_state, make_train_step
+
+    cfg = _ssl_cfg()
+    cfg.PRETRAIN.CONTRASTIVE.HEAD_BN = True
+    cfg.BN.FREEZE = True
+    cfg.VIDEO.BACKBONE.META_ARCH = "ResNet3D"
+    cfg.VIDEO.BACKBONE.DEPTH = 10
+    cfg.VIDEO.BACKBONE.NUM_FILTERS = [16, 16, 32, 32, 32]
+    cfg.VIDEO.BACKBONE.NUM_OUT_FEATURES = 32
+    cfg.VIDEO.BACKBONE.KERNEL_SIZE = [[3, 7, 7]] + [[3, 3, 3]] * 4
+    cfg.VIDEO.BACKBONE.DOWNSAMPLING = [True, False, True, True, True]
+    cfg.VIDEO.BACKBONE.DOWNSAMPLING_TEMPORAL = [False, False, True, True, True]
+    cfg.VIDEO.BACKBONE.BRANCH.NAME = "R2Plus1DBranch"
+    cfg.VIDEO.BACKBONE.STEM.NAME = "R2Plus1DStem"
+    cfg.VIDEO.HEAD.NAME = "ContrastiveHeadTopicPred"
+    cfg.VIDEO.HEAD.NUM_CLASSES = 0
+    cfg.DATA.NUM_INPUT_FRAMES = 4
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.OPTIMIZER.OPTIM_METHOD = "sgd"
+
+    model = build_model(cfg)
+    B, n = 2, 2
+    video = jax.random.normal(jax.random.PRNGKey(0), (B, n, 4, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(1),
+                           {"video": video.reshape(B * n, 4, 32, 32, 3)})
+    assert "head_stats" in variables
+    tx, lr_fn = construct_optimizer(cfg, variables, steps_per_epoch=10)
+    state = create_train_state(variables, tx)
+    step = jax.jit(make_train_step(model, cfg, tx, lr_fn))
+    batch = {"video": video, "labels": jnp.zeros((B,), jnp.int32),
+             "contrastive": jnp.tile(jnp.arange(n), (B, 1))}
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    # frozen: head BN running stats unchanged
+    before = jax.tree_util.tree_leaves(state.variables["head_stats"])
+    after = jax.tree_util.tree_leaves(new_state.variables["head_stats"])
+    for b_, a_ in zip(before, after):
+        np.testing.assert_array_equal(np.asarray(b_), np.asarray(a_))
+
+    # without FREEZE the head stats DO move
+    cfg.BN.FREEZE = False
+    step2 = jax.jit(make_train_step(model, cfg, tx, lr_fn))
+    new_state2, _ = step2(state, batch, jax.random.PRNGKey(2))
+    moved = any(
+        not np.allclose(np.asarray(b_), np.asarray(a_))
+        for b_, a_ in zip(
+            jax.tree_util.tree_leaves(state.variables["head_stats"]),
+            jax.tree_util.tree_leaves(new_state2.variables["head_stats"])))
+    assert moved
+
+
+def test_device_aug_never_flips_ssv2():
+    from dist_tpu.ops.augment_device import DeviceAugConfig
+
+    cfg = _ssl_cfg()
+    cfg.TRAIN.DATASET = "ssv2"
+    assert DeviceAugConfig.from_cfg(cfg).flip == 0.0
+    cfg.TRAIN.DATASET = "kinetics400"
+    assert DeviceAugConfig.from_cfg(cfg).flip == 0.5
