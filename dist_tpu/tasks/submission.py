@@ -34,7 +34,6 @@ def submission_test(cfg):
     dataset = loader.dataset
     num_views = cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
     num_videos = len(dataset) // num_views
-    num_cls = int(cfg.VIDEO.HEAD.NUM_CLASSES)
 
     first_batch = next(iter(loader))
     state = _init_test_state(cfg, model, first_batch)
@@ -91,21 +90,38 @@ def submission_test(cfg):
                 else:
                     video_preds[v] += np.asarray(preds)[i]
 
+    def video_name(v):
+        try:
+            info = dataset._get_sample_info(v * num_views)
+            return os.path.splitext(os.path.basename(info["path"]))[0]
+        except Exception:
+            return str(v)
+
     if dual:
-        # EPIC-KITCHENS test-server shape (reference
-        # runs/submission_test.py:24-282)
+        # EPIC-KITCHENS test-server shape incl. supervision-level fields and
+        # the top-100 action ensemble (reference
+        # runs/submission_test.py:131-164; ACTION_CLASS_ENSUMBLE "calculate")
+        n_noun = int(nc[1])
+        results_map = {}
+        for v in range(num_videos):
+            action = np.outer(video_preds["verb"][v],
+                              video_preds["noun"][v]).ravel()
+            top100 = np.argsort(-action)[:100]
+            results_map[video_name(v)] = {
+                "verb": {str(c): float(video_preds["verb"][v, c])
+                         for c in range(nc[0])},
+                "noun": {str(c): float(video_preds["noun"][v, c])
+                         for c in range(n_noun)},
+                "action": {f"{a // n_noun},{a % n_noun}": float(action[a])
+                           for a in top100.tolist()},
+            }
         results = {
             "version": "0.2",
             "challenge": "action_recognition",
-            "results": {
-                str(v): {
-                    "verb": {str(c): float(video_preds["verb"][v, c])
-                             for c in range(nc[0])},
-                    "noun": {str(c): float(video_preds["noun"][v, c])
-                             for c in range(nc[1])},
-                }
-                for v in range(num_videos)
-            },
+            "sls_pt": 2,
+            "sls_tl": 3,
+            "sls_td": 3,
+            "results": results_map,
         }
     else:
         results = {

@@ -83,3 +83,36 @@ def test_epic_train_step_dict_labels(epic_root):
     _, metrics = step(state, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["loss"]))
     assert "loss_verb_class" in metrics and "loss_noun_class" in metrics
+
+
+def test_epic_submission_json_format(epic_root, tmp_path):
+    """Submission writer emits the EPIC test-server shape: version/sls
+    fields, per-video verb/noun score maps keyed by video name, and the
+    top-100 'verb,noun' action ensemble (reference
+    runs/submission_test.py:131-164)."""
+    import json
+    from dist_tpu.tasks.submission import submission_test
+
+    cfg = _epic_cfg(epic_root)
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.TEST.DATASET = "epickitchen100"
+    cfg.TEST.BATCH_SIZE = 1
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 2
+    cfg.TEST.NUM_SPATIAL_CROPS = 1
+    cfg.SUBMISSION.SAVE_RESULTS_PATH = "submission.json"
+    out_path = submission_test(cfg)
+    with open(out_path) as f:
+        blob = json.load(f)
+    assert blob["version"] == "0.2"
+    assert blob["challenge"] == "action_recognition"
+    assert (blob["sls_pt"], blob["sls_tl"], blob["sls_td"]) == (2, 3, 3)
+    assert set(blob["results"]) == {f"clip{i}" for i in range(4)}
+    one = blob["results"]["clip0"]
+    assert len(one["verb"]) == 3 and len(one["noun"]) == 5
+    # action keys are 'verb,noun' pairs; <=100 entries, consistent scores
+    assert 0 < len(one["action"]) <= 100
+    for key, score in one["action"].items():
+        v, n = map(int, key.split(","))
+        assert 0 <= v < 3 and 0 <= n < 5
+        expected = one["verb"][str(v)] * one["noun"][str(n)]
+        assert abs(score - expected) < 1e-6
