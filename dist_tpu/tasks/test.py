@@ -81,41 +81,54 @@ def test(cfg):
 
 
 def perform_test(cfg, mesh, state, eval_step, loader, meter, text_features):
-    """(reference runs/test.py:24-178)"""
+    """(reference runs/test.py:24-178)
+
+    Lag-1 pipelined: batch k's predictions are fetched to the host while
+    batch k+1 computes on device, so meter bookkeeping and the device
+    forward overlap (same pattern as the train loop's metric readback)."""
+    pending = None
     for cur_iter, batch in enumerate(loader):
         device_batch = shard_batch(mesh, {
             "video": batch["video"], "labels": batch["label"]})
         if text_features is not None:
             device_batch["text_features"] = text_features
         metrics = eval_step(state, device_batch)
-        preds = jax.device_get(metrics["preds"])
-        ids = batch["index"]
-
-        def gather(x):
-            # each host evaluates its own index shard; the meter needs all
-            # of them (replaces the reference's NCCL all_gather,
-            # runs/test.py:131-141)
-            from jax.experimental import multihost_utils
-            return np.concatenate(
-                multihost_utils.process_allgather(np.asarray(x), tiled=False))
-
-        multihost = jax.process_count() > 1
-        if isinstance(preds, dict):
-            # EPIC dual-head: labels arrive as separate verb/noun columns
-            preds = {k: np.asarray(v) for k, v in preds.items()}
-            labels = {"verb_class": batch.get("label_verb", batch["label"]),
-                      "noun_class": batch.get("label_noun", batch["label"])}
-            if multihost:
-                preds = {k: gather(v) for k, v in preds.items()}
-                labels = {k: gather(v) for k, v in labels.items()}
-                ids = gather(ids)
-            meter.update_stats(preds, labels, ids)
-            continue
-        preds = np.asarray(preds)
-        labels = batch["label"]
-        if multihost:
-            preds, labels, ids = gather(preds), gather(labels), gather(ids)
-        meter.update_stats(preds, labels, ids)
-        if (cur_iter + 1) % cfg.LOG_PERIOD == 0:
-            logger.info("test iter %d/%d", cur_iter + 1, len(loader))
+        if pending is not None:
+            _consume_test_batch(cfg, meter, *pending)
+        pending = (metrics, batch, cur_iter)
+    if pending is not None:
+        _consume_test_batch(cfg, meter, *pending)
     return meter
+
+
+def _consume_test_batch(cfg, meter, metrics, batch, cur_iter):
+    preds = jax.device_get(metrics["preds"])
+    ids = batch["index"]
+
+    def gather(x):
+        # each host evaluates its own index shard; the meter needs all of
+        # them (replaces the reference's NCCL all_gather,
+        # runs/test.py:131-141)
+        from jax.experimental import multihost_utils
+        return np.concatenate(
+            multihost_utils.process_allgather(np.asarray(x), tiled=False))
+
+    multihost = jax.process_count() > 1
+    if isinstance(preds, dict):
+        # EPIC dual-head: labels arrive as separate verb/noun columns
+        preds = {k: np.asarray(v) for k, v in preds.items()}
+        labels = {"verb_class": batch.get("label_verb", batch["label"]),
+                  "noun_class": batch.get("label_noun", batch["label"])}
+        if multihost:
+            preds = {k: gather(v) for k, v in preds.items()}
+            labels = {k: gather(v) for k, v in labels.items()}
+            ids = gather(ids)
+        meter.update_stats(preds, labels, ids)
+        return
+    preds = np.asarray(preds)
+    labels = batch["label"]
+    if multihost:
+        preds, labels, ids = gather(preds), gather(labels), gather(ids)
+    meter.update_stats(preds, labels, ids)
+    if (cur_iter + 1) % cfg.LOG_PERIOD == 0:
+        logger.info("test iter %d done", cur_iter + 1)
