@@ -69,7 +69,7 @@ class CLIPDiSTModel(nn.Module):
             self.dist_net = DiSTNetwork(
                 cfg=self.dist, d_model=self.arch.vision_width,
                 output_dim=self.arch.embed_dim, dtype=self.dtype,
-                name="dist_net",
+                remat=self.remat, name="dist_net",
             )
         self.logit_scale = self.param(
             "logit_scale",

@@ -175,3 +175,29 @@ def test_temporal_patch_stem_equals_conv():
     assert out_stem.shape == out_conv.shape == (2, 6, 3, 3, c)
     np.testing.assert_allclose(np.asarray(out_stem), np.asarray(out_conv),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_ladder_remat_matches_and_differentiates():
+    """TPU.REMAT wraps the DiST ladder scan body: outputs must match the
+    non-remat network exactly and gradients must flow."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dist_tpu.models.dist.dist_net import DiSTConfig, DiSTNetwork
+
+    cfg = DiSTConfig(selected_layers=(0, 1), num_frames=4, alpha=2,
+                     temporal_dim=16, integration_dim=64, s_patch_size=16,
+                     t_patch_size=5)
+    rng = jax.random.PRNGKey(0)
+    video = jax.random.normal(rng, (2, 4, 32, 32, 3), jnp.float32)
+    taps = jax.random.normal(rng, (2, 4, 5, 24), jnp.float32)
+    base = DiSTNetwork(cfg=cfg, d_model=24, output_dim=8)
+    rem = DiSTNetwork(cfg=cfg, d_model=24, output_dim=8, remat=True)
+    v = base.init(rng, video, taps)
+    out_b = base.apply(v, video, taps)
+    out_r = rem.apply(v, video, taps)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-5)
+    g = jax.grad(lambda v: jnp.sum(rem.apply(v, video, taps)))(v)
+    total = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(total) and total > 0

@@ -99,11 +99,11 @@ def main():
         bench("dist_full", DiSTNetwork(cfg=cfg, d_model=DM, output_dim=512,
                                        dtype=dt), (video, taps))
     if "stem" in want:
-        stem = nn.Conv(cfg.temporal_dim, (cfg.t_patch_size, 16, 16),
-                       strides=(1, 16, 16),
-                       padding=((2, 2), (0, 0), (0, 0)), dtype=dt,
-                       param_dtype=jnp.float32)
-        bench("stem", stem, (video.astype(dt),))
+        from dist_tpu.models.dist.dist_net import TemporalPatchStem
+        stem = TemporalPatchStem(channels=cfg.temporal_dim,
+                                 t_patch=cfg.t_patch_size, s_patch=16,
+                                 dtype=dt)
+        bench("stem", stem, (video,))
     if "temporal_net" in want:
         bench("temporal_net", TemporalNet(cfg, dt), (x_temporal,))
     if "integration" in want:

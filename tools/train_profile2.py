@@ -39,31 +39,31 @@ def main():
 
     dist = DiSTNetwork(cfg=cfg, d_model=768, output_dim=512, dtype=dt)
     dvars = dist.init(rng, video, taps)
-    gfn = jax.grad(lambda v, acc: jnp.sum(
-        dist.apply(v, video + (acc * 0).astype(video.dtype), taps)
-        .astype(jnp.float32)))
+    gfn = jax.grad(lambda v, vid, tp: jnp.sum(
+        dist.apply(v, vid, tp).astype(jnp.float32)))
 
     @jax.jit
-    def dist_bwd_reps(v):
+    def dist_bwd_reps(v, vid, tp):
         def body(i, acc):
-            return acc * 0.0 + tree_sum(gfn(v, acc))
+            return acc * 0.0 + tree_sum(
+                gfn(v, vid + (acc * 0).astype(vid.dtype), tp))
         return jax.lax.fori_loop(0, REPS, body, jnp.zeros((), jnp.float32))
 
-    bench("dist_fwd_bwd", dist_bwd_reps, dvars)
+    bench("dist_fwd_bwd", dist_bwd_reps, dvars, video, taps)
 
     stem = TemporalPatchStem(channels=96, t_patch=5, s_patch=16, dtype=dt)
     svars = stem.init(rng, video)
-    sgfn = jax.grad(lambda v, acc: jnp.sum(
-        stem.apply(v, video + (acc * 0).astype(video.dtype))
-        .astype(jnp.float32)))
+    sgfn = jax.grad(lambda v, vid: jnp.sum(
+        stem.apply(v, vid).astype(jnp.float32)))
 
     @jax.jit
-    def stem_bwd_reps(v):
+    def stem_bwd_reps(v, vid):
         def body(i, acc):
-            return acc * 0.0 + tree_sum(sgfn(v, acc))
+            return acc * 0.0 + tree_sum(
+                sgfn(v, vid + (acc * 0).astype(vid.dtype)))
         return jax.lax.fori_loop(0, REPS, body, jnp.zeros((), jnp.float32))
 
-    bench("stem_fwd_bwd", stem_bwd_reps, svars)
+    bench("stem_fwd_bwd", stem_bwd_reps, svars, video)
 
 if __name__ == "__main__":
     main()
