@@ -117,6 +117,19 @@ class Loader:
         q = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item):
+            # never block forever: the consumer may abandon the iterator
+            # (e.g. `next(iter(loader))`), whose finally sets `stop`; a hard
+            # q.put would pin the producer, the pool, and the decoded window
+            # for the process lifetime
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             # decode is pipelined ACROSS batch boundaries: a bounded window
             # of per-sample futures stays in flight, so workers start batch
@@ -140,20 +153,6 @@ class Loader:
                             inflight += len(futs)
                             chunk_futs.append(futs)
 
-                    def put(item):
-                        # never block forever: the consumer may abandon the
-                        # iterator (e.g. `next(iter(loader))`), whose finally
-                        # sets `stop`; a hard q.put would pin this thread,
-                        # the pool, and the decoded window for the process
-                        # lifetime
-                        while not stop.is_set():
-                            try:
-                                q.put(item, timeout=0.1)
-                                return True
-                            except queue.Full:
-                                continue
-                        return False
-
                     refill()
                     while chunk_futs and not stop.is_set():
                         futs = chunk_futs.popleft()
@@ -170,12 +169,7 @@ class Loader:
                             break
                     put(None)
             except BaseException as e:  # surface worker failures to the consumer
-                while not stop.is_set():
-                    try:
-                        q.put(e, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
+                put(e)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()

@@ -80,6 +80,11 @@ def make_train_step(model, cfg, tx, lr_fn, mesh=None):
 
     def step(state: TrainState, batch, rng):
         video = _pin_data_axis(batch["video"])
+        if video.ndim == 6:
+            # SSL multi-view (B, n_views, T, H, W, C): flatten BEFORE the
+            # device augmentation so flips/jitter act on the (T,H,W) axes,
+            # not on the view axis; the model flattens identically
+            video = video.reshape((-1,) + video.shape[2:])
         batch = dict(batch)
         for k in ("labels", "label_verb", "label_noun", "contrastive"):
             if k in batch and batch[k] is not None:

@@ -64,22 +64,16 @@ def submission_test(cfg):
                 device_batch["text_features"] = text_features
             metrics = eval_step(state, device_batch)
             preds = jax.device_get(metrics["preds"])
-            ids = batch["index"]
-            if jax.process_count() > 1:
-                # each host evaluates its own index shard; the results file
-                # must carry ALL videos (mirrors tasks/test.py)
-                from jax.experimental import multihost_utils
-
-                def gather(x):
-                    return np.concatenate(multihost_utils.process_allgather(
-                        np.asarray(x), tiled=False))
-
-                ids = gather(ids)
-                preds = ({k: gather(v) for k, v in preds.items()}
-                         if isinstance(preds, dict) else gather(preds))
-            batch = dict(batch)
-            batch["index"] = ids
-            for i, idx in enumerate(batch["index"]):
+            # each host evaluates its own index shard; the results file must
+            # carry ALL videos (identity under a single process)
+            from dist_tpu.parallel.collectives import all_gather_arrays
+            (ids,) = all_gather_arrays(batch["index"])
+            if isinstance(preds, dict):
+                preds = dict(zip(preds, all_gather_arrays(
+                    *(np.asarray(v) for v in preds.values()))))
+            else:
+                (preds,) = all_gather_arrays(np.asarray(preds))
+            for i, idx in enumerate(ids):
                 if int(idx) in seen:
                     continue
                 seen.add(int(idx))
@@ -91,9 +85,12 @@ def submission_test(cfg):
                     video_preds[v] += np.asarray(preds)[i]
 
     def video_name(v):
+        """Collision-free name: the video's path relative to the data root,
+        extension stripped (basenames alone can repeat across directories)."""
         try:
             info = dataset._get_sample_info(v * num_views)
-            return os.path.splitext(os.path.basename(info["path"]))[0]
+            rel = os.path.relpath(info["path"], dataset.data_root_dir)
+            return os.path.splitext(rel)[0].replace(os.sep, "/")
         except Exception:
             return str(v)
 
@@ -106,7 +103,9 @@ def submission_test(cfg):
         for v in range(num_videos):
             action = np.outer(video_preds["verb"][v],
                               video_preds["noun"][v]).ravel()
-            top100 = np.argsort(-action)[:100]
+            k = min(100, action.size)
+            top100 = np.argpartition(-action, k - 1)[:k]
+            top100 = top100[np.argsort(-action[top100])]
             results_map[video_name(v)] = {
                 "verb": {str(c): float(video_preds["verb"][v, c])
                          for c in range(nc[0])},
@@ -133,7 +132,9 @@ def submission_test(cfg):
             },
         }
     out_path = os.path.join(cfg.OUTPUT_DIR, cfg.SUBMISSION.SAVE_RESULTS_PATH)
-    with open(out_path, "w") as f:
-        json.dump(results, f)
-    logger.info("Submission written to %s", out_path)
+    if jax.process_index() == 0:
+        # every host holds the gathered results; only the master writes
+        with open(out_path, "w") as f:
+            json.dump(results, f)
+        logger.info("Submission written to %s", out_path)
     return out_path

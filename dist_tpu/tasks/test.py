@@ -102,33 +102,23 @@ def perform_test(cfg, mesh, state, eval_step, loader, meter, text_features):
 
 
 def _consume_test_batch(cfg, meter, metrics, batch, cur_iter):
+    # each host evaluates its own index shard; the meter needs all of them
+    # (replaces the reference's NCCL all_gather, runs/test.py:131-141;
+    # all_gather_arrays is the identity under a single process)
+    from dist_tpu.parallel.collectives import all_gather_arrays
+
     preds = jax.device_get(metrics["preds"])
-    ids = batch["index"]
-
-    def gather(x):
-        # each host evaluates its own index shard; the meter needs all of
-        # them (replaces the reference's NCCL all_gather,
-        # runs/test.py:131-141)
-        from jax.experimental import multihost_utils
-        return np.concatenate(
-            multihost_utils.process_allgather(np.asarray(x), tiled=False))
-
-    multihost = jax.process_count() > 1
+    (ids,) = all_gather_arrays(batch["index"])
     if isinstance(preds, dict):
         # EPIC dual-head: labels arrive as separate verb/noun columns
-        preds = {k: np.asarray(v) for k, v in preds.items()}
+        preds = dict(zip(preds, all_gather_arrays(
+            *(np.asarray(v) for v in preds.values()))))
         labels = {"verb_class": batch.get("label_verb", batch["label"]),
                   "noun_class": batch.get("label_noun", batch["label"])}
-        if multihost:
-            preds = {k: gather(v) for k, v in preds.items()}
-            labels = {k: gather(v) for k, v in labels.items()}
-            ids = gather(ids)
+        labels = dict(zip(labels, all_gather_arrays(*labels.values())))
         meter.update_stats(preds, labels, ids)
         return
-    preds = np.asarray(preds)
-    labels = batch["label"]
-    if multihost:
-        preds, labels, ids = gather(preds), gather(labels), gather(ids)
+    preds, labels = all_gather_arrays(np.asarray(preds), batch["label"])
     meter.update_stats(preds, labels, ids)
     if (cur_iter + 1) % cfg.LOG_PERIOD == 0:
         logger.info("test iter %d done", cur_iter + 1)

@@ -44,3 +44,24 @@ def test_device_augment_jits():
     v = jax.random.uniform(jax.random.PRNGKey(0), (2, 2, 8, 8, 3))
     out = jax.jit(lambda k, x: device_augment(k, x, c))(jax.random.PRNGKey(1), v)
     assert out.shape == v.shape
+
+
+def test_ssl_six_dim_batch_flips_width_not_height():
+    """USE_GPU + SSL multi-view batches: the train step must flatten the
+    view axis BEFORE device augmentation so hflip reverses W, not H
+    (round-2 review finding)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dist_tpu.ops.augment_device import random_hflip
+
+    # the step flattens (B, n, T, H, W, C) -> (B*n, T, H, W, C); on the
+    # flattened tensor random_hflip's axis -2 slice is W
+    video = jnp.zeros((2, 2, 2, 4, 6, 3), jnp.float32)
+    video = video.at[..., :, :3, :].set(1.0)  # left half-width ones
+    flat = video.reshape((-1,) + video.shape[2:])
+    out = random_hflip(jax.random.PRNGKey(3), flat, p=1.0)
+    out = np.asarray(out)
+    # width reversed: ones moved to the right half; height untouched
+    assert (out[..., :, 3:, :] == 1.0).all()
+    assert (out[..., :, :3, :] == 0.0).all()
