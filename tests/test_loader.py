@@ -84,3 +84,18 @@ def test_abandoned_iterator_releases_producer():
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_multihost_index_sharding_partitions_stream():
+    """Two processes see disjoint, interleaved shards that cover the epoch
+    (the DistributedSampler analog), padded to equal per-host length."""
+    ds = _ToyDataset(11)
+    loaders = [Loader(ds, batch_size=2, shuffle=False, drop_last=False,
+                      num_workers=1, process_index=i, process_count=2)
+               for i in range(2)]
+    streams = [l._epoch_indices() for l in loaders]
+    assert len(streams[0]) == len(streams[1]) == 6  # ceil(11/2), padded
+    combined = sorted(int(i) for s in streams for i in s)
+    assert combined == sorted(list(range(11)) + [0])  # wrap-pad with idx 0
+    # equal batch counts on every host (collectives stay in lockstep)
+    assert len(loaders[0]) == len(loaders[1])
