@@ -265,6 +265,9 @@ class BaseVideoDataset(abc.ABC):
                     saturation=cfg.AUGMENTATION.SATURATION,
                     hue=cfg.AUGMENTATION.HUE,
                     grayscale=cfg.AUGMENTATION.GRAYSCALE,
+                    consistent=bool(cfg.AUGMENTATION.get("CONSISTENT", True)),
+                    shuffle=bool(cfg.AUGMENTATION.get("SHUFFLE", True)),
+                    gray_first=bool(cfg.AUGMENTATION.get("GRAY_FIRST", True)),
                     p=float(cfg.AUGMENTATION.get("COLOR_JITTER_P", 1.0) or 0.0))
             if cfg.AUGMENTATION.RANDOM_ERASING.ENABLE:
                 from dist_tpu.data.rand_augment import RandomErasing

@@ -20,6 +20,7 @@ from dist_tpu.optim.losses import label_smoothing
 class MixupConfig:
     mixup_alpha: float = 0.8
     cutmix_alpha: float = 1.0
+    cutmix_minmax: tuple = None  # min/max bbox ratio; overrides alpha-lam
     mix_prob: float = 1.0
     switch_prob: float = 0.5
     smoothing: float = 0.1
@@ -29,9 +30,17 @@ class MixupConfig:
     @classmethod
     def from_cfg(cls, cfg):
         aug = cfg.AUGMENTATION
+        minmax = aug.CUTMIX.get("MINMAX") if aug.CUTMIX.ENABLE else None
+        minmax = tuple(float(v) for v in minmax) if minmax else None
+        cutmix_alpha = float(aug.CUTMIX.ALPHA) if aug.CUTMIX.ENABLE else 0.0
+        if minmax is not None and cutmix_alpha <= 0:
+            # timm Mixup: a minmax range activates cutmix regardless of alpha
+            # (reference mixup.py:131-135 forces cutmix_alpha = 0.5)
+            cutmix_alpha = 0.5
         return cls(
             mixup_alpha=float(aug.MIXUP.ALPHA),
-            cutmix_alpha=float(aug.CUTMIX.ALPHA) if aug.CUTMIX.ENABLE else 0.0,
+            cutmix_alpha=cutmix_alpha,
+            cutmix_minmax=minmax,
             mix_prob=float(aug.MIXUP.PROB),
             switch_prob=float(aug.MIXUP.SWITCH_PROB),
             smoothing=float(aug.LABEL_SMOOTHING),
@@ -65,6 +74,24 @@ def _rand_bbox_mask(rng, h, w, lam):
     return mask, lam_corrected
 
 
+def _rand_bbox_minmax_mask(rng, h, w, minmax):
+    """Darknet-style min-max CutMix box: each side drawn independently as a
+    fraction of the image in [minmax[0], minmax[1]); lambda is fully
+    determined by the box area (reference rand_bbox_minmax +
+    cutmix_bbox_and_lam, mixup.py:68-104)."""
+    kh, kw, ky, kx = jax.random.split(rng, 4)
+    cut_h = jax.random.randint(kh, (), int(h * minmax[0]), int(h * minmax[1]))
+    cut_w = jax.random.randint(kw, (), int(w * minmax[0]), int(w * minmax[1]))
+    yl = jax.random.randint(ky, (), 0, h - cut_h)
+    xl = jax.random.randint(kx, (), 0, w - cut_w)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    mask = ((rows >= yl) & (rows < yl + cut_h)
+            & (cols >= xl) & (cols < xl + cut_w))
+    lam = 1.0 - (cut_h * cut_w) / float(h * w)
+    return mask, lam
+
+
 def mixup_batch(rng, video, labels, mc: MixupConfig):
     """video (B, T, H, W, C) float; labels (B,) int.
     Returns (mixed_video, soft_targets (B, num_classes))."""
@@ -84,7 +111,10 @@ def mixup_batch(rng, video, labels, mc: MixupConfig):
     lam_cut = (jax.random.beta(k_lam_c, mc.cutmix_alpha, mc.cutmix_alpha)
                if mc.cutmix_alpha > 0 else jnp.float32(1.0))
 
-    mask, lam_cut = _rand_bbox_mask(k_box, h, w, lam_cut)
+    if mc.cutmix_minmax is not None:
+        mask, lam_cut = _rand_bbox_minmax_mask(k_box, h, w, mc.cutmix_minmax)
+    else:
+        mask, lam_cut = _rand_bbox_mask(k_box, h, w, lam_cut)
     flipped = video[::-1]
 
     mixed_mixup = video * lam_mix + flipped * (1.0 - lam_mix)

@@ -78,7 +78,7 @@ def _color(x, factor):
 
 
 def _contrast(x, factor):
-    mean = x.astype(np.float32).mean(keepdims=True)
+    mean = float(x.astype(np.float32).mean())
     return _blend(x, np.full_like(x, int(mean)), factor)
 
 

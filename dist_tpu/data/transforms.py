@@ -127,27 +127,108 @@ def horizontal_flip(frames):
     return frames[:, :, ::-1]
 
 
+_RGB2GRAY = np.asarray([0.299, 0.587, 0.114], np.float32)
+
+
+def _rgb2hsv(x):
+    """Vectorized RGB->HSV on float (..., 3) in [0,1]
+    (reference _rgb2hsv, transformations.py:206-225)."""
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    maxc = x.max(axis=-1)
+    minc = x.min(axis=-1)
+    eqc = maxc == minc
+    cr = maxc - minc
+    ones = np.ones_like(maxc)
+    s = cr / np.where(eqc, ones, maxc)
+    cr_div = np.where(eqc, ones, cr)
+    rc = (maxc - r) / cr_div
+    gc = (maxc - g) / cr_div
+    bc = (maxc - b) / cr_div
+    h = ((maxc == r) * (bc - gc)
+         + ((maxc == g) & (maxc != r)) * (2.0 + rc - bc)
+         + ((maxc != g) & (maxc != r)) * (4.0 + gc - rc))
+    h = np.mod(h / 6.0 + 1.0, 1.0)
+    return h, s, maxc
+
+
+def _hsv2rgb(h, s, v):
+    """Vectorized HSV->RGB (reference _hsv2rgb, transformations.py:227-257)."""
+    i = np.floor(h * 6.0)
+    f = h * 6.0 - i
+    i = i.astype(np.int32) % 6
+    p = np.clip(v * (1.0 - s), 0.0, 1.0)
+    q = np.clip(v * (1.0 - s * f), 0.0, 1.0)
+    t = np.clip(v * (1.0 - s * (1.0 - f)), 0.0, 1.0)
+    # channel value by sextant: r,g,b each select from (v,q,p,p,t,v) etc.
+    r = np.choose(i, [v, q, p, p, t, v])
+    g = np.choose(i, [t, v, v, q, p, p])
+    b = np.choose(i, [p, p, t, v, v, q])
+    return np.stack([r, g, b], axis=-1)
+
+
 def color_jitter_clip(frames, rng, brightness=0, contrast=0, saturation=0,
-                      hue=0, grayscale=0, consistent=True, p=1.0):
-    """Clip-consistent color jitter on uint8 (T,H,W,C) frames
-    (reference ColorJitter, transformations.py:36-320, consistent mode)."""
-    if rng.uniform() > p:
+                      hue=0, grayscale=0, consistent=True, shuffle=True,
+                      gray_first=True, p=1.0):
+    """Color jitter on uint8 (T,H,W,C) frames with the reference ColorJitter
+    semantics (transformations.py:36-320):
+
+    - per-op factors drawn once per clip (``consistent=True``) or per frame,
+    - brightness = blend toward zero; contrast = blend toward the per-frame
+      grayscale mean; saturation = blend toward per-pixel grayscale;
+      hue = cyclic shift in HSV space,
+    - op order shuffled when ``shuffle`` (``AUGMENTATION.SHUFFLE``),
+    - grayscale applied with prob ``grayscale``, first or last in the chain
+      per ``gray_first`` (``AUGMENTATION.GRAY_FIRST``); it is applied even
+      when the jitter prob ``p`` gate fails, like the reference.
+    """
+    t = frames.shape[0]
+    perform = rng.uniform() < p
+
+    def factor(lo, hi, shape=(t, 1, 1, 1)):
+        if consistent:
+            return np.float32(rng.uniform(lo, hi))
+        return rng.uniform(lo, hi, size=shape).astype(np.float32)
+
+    ops = []
+    if brightness > 0 and perform:
+        f_b = factor(max(0, 1 - brightness), 1 + brightness)
+        ops.append(lambda x: np.clip(x * f_b, 0.0, 1.0))
+    if contrast > 0 and perform:
+        f_c = factor(max(0, 1 - contrast), 1 + contrast)
+
+        def _contrast(x):
+            mean = (x @ _RGB2GRAY).mean(axis=(1, 2))[:, None, None, None]
+            return np.clip((x - mean) * f_c + mean, 0.0, 1.0)
+        ops.append(_contrast)
+    if saturation > 0 and perform:
+        f_s = factor(max(0, 1 - saturation), 1 + saturation)
+
+        def _saturation(x):
+            gray = (x @ _RGB2GRAY)[..., None]
+            return np.clip((x - gray) * f_s + gray, 0.0, 1.0)
+        ops.append(_saturation)
+    if hue > 0 and perform:
+        f_h = factor(-hue, hue, shape=(t, 1, 1))
+
+        def _hue(x):
+            hh, ss, vv = _rgb2hsv(x)
+            hh = np.mod(hh + f_h, 1.0)
+            return _hsv2rgb(hh, ss, vv)
+        ops.append(_hue)
+
+    if shuffle and perform:
+        rng.shuffle(ops)
+    if grayscale > 0 and rng.uniform() < grayscale:
+        def _gray(x):
+            g = (x @ _RGB2GRAY)[..., None]
+            return np.repeat(g, 3, axis=-1)
+        ops.insert(0, _gray) if gray_first else ops.append(_gray)
+
+    if not ops:
         return frames
     x = frames.astype(np.float32) / 255.0
-    if brightness > 0:
-        f = rng.uniform(max(0, 1 - brightness), 1 + brightness)
-        x = x * f
-    if contrast > 0:
-        f = rng.uniform(max(0, 1 - contrast), 1 + contrast)
-        mean = x.mean(axis=(1, 2, 3), keepdims=True)
-        x = (x - mean) * f + mean
-    if saturation > 0:
-        f = rng.uniform(max(0, 1 - saturation), 1 + saturation)
-        gray = x @ np.asarray([0.299, 0.587, 0.114], np.float32)
-        x = (x - gray[..., None]) * f + gray[..., None]
-    if grayscale > 0 and rng.uniform() < grayscale:
-        gray = x @ np.asarray([0.299, 0.587, 0.114], np.float32)
-        x = np.repeat(gray[..., None], 3, axis=-1)
+    for op in ops:
+        x = op(x)
     return (np.clip(x, 0, 1) * 255).astype(np.uint8)
 
 

@@ -56,6 +56,9 @@ class ContrastiveGenerator:
                 saturation=cfg.AUGMENTATION.SATURATION,
                 hue=cfg.AUGMENTATION.HUE,
                 grayscale=cfg.AUGMENTATION.GRAYSCALE,
+                consistent=bool(cfg.AUGMENTATION.get("CONSISTENT", False)),
+                shuffle=bool(cfg.AUGMENTATION.get("SHUFFLE", True)),
+                gray_first=bool(cfg.AUGMENTATION.get("GRAY_FIRST", True)),
                 p=float(cfg.AUGMENTATION.get("COLOR_JITTER_P", 1.0) or 0.8))
             views.append(np.ascontiguousarray(v))
         labels = dict(labels)

@@ -77,7 +77,29 @@ def test(cfg):
         eval_step = jax.jit(make_eval_step(model, cfg))
         perform_test(cfg, mesh, state, eval_step, loader, meter, text_features)
 
-    return meter.finalize_metrics()
+    results = meter.finalize_metrics()
+    _save_epic_preds(cfg, meter)
+    return results
+
+
+def _save_epic_preds(cfg, meter):
+    """Persist the ensembled per-video verb/noun scores for EPIC-KITCHENS
+    (reference runs/test.py:153-160 saves ``<log>_verb.pyth`` /
+    ``<log>_noun.pyth``); ``.npz`` here. Gated on ``DATA.MULTI_LABEL``, the
+    reference's flag for dict-pred datasets."""
+    import os
+    if "epickitchen" not in str(cfg.TEST.DATASET).lower():
+        return
+    if not (cfg.DATA.get("MULTI_LABEL") or not cfg.DATA.get("TRAIN_VERSION")):
+        return
+    if not isinstance(getattr(meter, "video_preds", None), dict):
+        return
+    stem = os.path.join(cfg.OUTPUT_DIR, cfg.TEST.LOG_FILE.split(".")[0])
+    for key, suffix in (("verb_class", "_verb"), ("noun_class", "_noun")):
+        np.savez(stem + suffix + ".npz", preds=meter.video_preds[key],
+                 labels=meter.video_labels[key])
+    logger.info("Saved EPIC verb/noun prediction scores to %s_{verb,noun}.npz",
+                stem)
 
 
 def perform_test(cfg, mesh, state, eval_step, loader, meter, text_features):

@@ -206,6 +206,10 @@ def load_train_checkpoint(cfg, state):
         return state, int(restored["epoch"])
     ckpt = cfg.TRAIN.CHECKPOINT_FILE_PATH
     if ckpt:
+        assert cfg.TRAIN.CHECKPOINT_TYPE != "caffe2", (
+            "caffe2 checkpoints are not supported (the reference's caffe2 "
+            "loader targets Detectron pkls no DiST/TAda/HiCo config uses); "
+            "set TRAIN.CHECKPOINT_TYPE to 'pytorch' or load an Orbax dir")
         if _is_torch_ckpt(ckpt) or cfg.TRAIN.CHECKPOINT_TYPE == "pytorch":
             variables = load_torch_variables(cfg, ckpt, state.variables)
             state = state.replace(variables=variables)

@@ -106,3 +106,38 @@ def test_solarize_add_and_posterize_levels():
     # PosterizeOriginal keeps >= 4 bits even at level 0
     out = apply_op("PosterizeOriginal", frames, 0.0, rng)
     assert len(np.unique(out)) >= 16
+
+
+def test_cutmix_minmax_box_and_lam():
+    """AUGMENTATION.CUTMIX.MINMAX: each box side drawn in [min,max) of the
+    image dimension; lambda = 1 - box_area/image_area (reference
+    rand_bbox_minmax + cutmix_bbox_and_lam, mixup.py:68-104)."""
+    mc = MixupConfig(mixup_alpha=0.0, cutmix_alpha=0.5, num_classes=5,
+                     smoothing=0.0, cutmix_minmax=(0.25, 0.75))
+    h = w = 32
+    video = jnp.stack([jnp.zeros((2, h, w, 3)), jnp.ones((2, h, w, 3))])
+    labels = jnp.asarray([0, 1])
+    for seed in range(5):
+        mixed, target = mixup_batch(jax.random.PRNGKey(seed), video, labels, mc)
+        frac = float(np.asarray(mixed[0]).mean())  # 1 - lam
+        np.testing.assert_allclose(float(target[0, 1]), frac, atol=1e-5)
+        # box sides within the minmax range
+        cols = np.asarray(mixed[0, 0, :, :, 0]).max(axis=0).sum()
+        rows = np.asarray(mixed[0, 0, :, :, 0]).max(axis=1).sum()
+        assert h * 0.25 <= rows < h * 0.75
+        assert w * 0.25 <= cols < w * 0.75
+
+
+def test_cutmix_minmax_from_cfg_forces_cutmix():
+    import os
+    from dist_tpu.config import load_config
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(
+        os.path.join(repo, "configs/projects/dist/ssv2/vit-b16-8+16f.yaml"),
+        make_output_dir=False)
+    cfg.AUGMENTATION.CUTMIX.ENABLE = True
+    cfg.AUGMENTATION.CUTMIX.ALPHA = 0.0
+    cfg.AUGMENTATION.CUTMIX.MINMAX = [0.2, 0.8]
+    mc = MixupConfig.from_cfg(cfg)
+    assert mc.cutmix_minmax == (0.2, 0.8)
+    assert mc.cutmix_alpha == 0.5 and mc.enabled
