@@ -56,6 +56,47 @@ def _per_sample(keys, fn, x):
     return jax.vmap(fn)(keys, x)
 
 
+def _rgb2hsv(x):
+    """RGB->HSV on float (..., 3) in [0,1] (reference _rgb2hsv,
+    transformations.py:206-225), jnp version for the in-jit path."""
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    maxc = jnp.max(x, axis=-1)
+    minc = jnp.min(x, axis=-1)
+    eqc = maxc == minc
+    cr = maxc - minc
+    ones = jnp.ones_like(maxc)
+    s = cr / jnp.where(eqc, ones, maxc)
+    cr_div = jnp.where(eqc, ones, cr)
+    rc = (maxc - r) / cr_div
+    gc = (maxc - g) / cr_div
+    bc = (maxc - b) / cr_div
+    h = ((maxc == r) * (bc - gc)
+         + ((maxc == g) & (maxc != r)) * (2.0 + rc - bc)
+         + ((maxc != g) & (maxc != r)) * (4.0 + gc - rc))
+    h = jnp.mod(h / 6.0 + 1.0, 1.0)
+    return h, s, maxc
+
+
+def _hsv2rgb(h, s, v):
+    """HSV->RGB (reference _hsv2rgb, transformations.py:227-257)."""
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    i = i.astype(jnp.int32) % 6
+    p = jnp.clip(v * (1.0 - s), 0.0, 1.0)
+    q = jnp.clip(v * (1.0 - s * f), 0.0, 1.0)
+    t = jnp.clip(v * (1.0 - s * (1.0 - f)), 0.0, 1.0)
+    # sextant select: stack the 6 candidates on a new axis and take_along
+    r = jnp.stack([v, q, p, p, t, v], axis=-1)
+    g = jnp.stack([t, v, v, q, p, p], axis=-1)
+    b = jnp.stack([p, p, t, v, v, q], axis=-1)
+    idx = i[..., None]
+    return jnp.concatenate([
+        jnp.take_along_axis(r, idx, axis=-1),
+        jnp.take_along_axis(g, idx, axis=-1),
+        jnp.take_along_axis(b, idx, axis=-1),
+    ], axis=-1)
+
+
 def color_jitter(rng, video, c: DeviceAugConfig):
     """Clip-consistent color jitter per batch item. video (B,T,H,W,C) in
     [0,1]."""
@@ -73,14 +114,17 @@ def color_jitter(rng, video, c: DeviceAugConfig):
                                  maxval=1 + c.saturation)
         h_shift = jax.random.uniform(k[4], minval=-c.hue, maxval=c.hue)
 
-        y = x * f_b
-        mean = y.mean(axis=(0, 1, 2), keepdims=True)
-        y = (y - mean) * f_c + mean
+        y = jnp.clip(x * f_b, 0.0, 1.0)
+        # per-frame luma mean (reference adjust_contrast dims (-4,-2,-1))
+        mean = (y @ _RGB2GRAY).mean(axis=(1, 2))[:, None, None, None]
+        y = jnp.clip((y - mean) * f_c + mean, 0.0, 1.0)
         gray = (y @ _RGB2GRAY)[..., None]
-        y = (y - gray) * f_s + gray
-        # cheap hue approximation: rotate channels toward their mean
-        y = y + h_shift * (jnp.roll(y, 1, axis=-1) - y)
-        gray3 = jnp.broadcast_to(gray, y.shape)
+        y = jnp.clip((y - gray) * f_s + gray, 0.0, 1.0)
+        if c.hue:
+            hh, ss, vv = _rgb2hsv(y)
+            y = _hsv2rgb(jnp.mod(hh + h_shift, 1.0), ss, vv)
+        gray_final = (y @ _RGB2GRAY)[..., None]
+        gray3 = jnp.broadcast_to(gray_final, y.shape)
         to_gray = jax.random.uniform(k[5]) < c.grayscale
         y = jnp.where(to_gray, gray3, y)
         return jnp.clip(jnp.where(apply, y, x), 0.0, 1.0)

@@ -65,3 +65,20 @@ def test_ssl_six_dim_batch_flips_width_not_height():
     # width reversed: ones moved to the right half; height untouched
     assert (out[..., :, 3:, :] == 1.0).all()
     assert (out[..., :, :3, :] == 0.0).all()
+
+
+def test_device_hue_matches_host_hsv():
+    """In-jit HSV hue shift equals the host-side (reference-math) version."""
+    import numpy as np
+    import jax.numpy as jnp
+    from dist_tpu.data import transforms as host_t
+    from dist_tpu.ops import augment_device as dev
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, size=(2, 8, 8, 3)).astype(np.float32)
+    shift = 0.23
+    hh, ss, vv = host_t._rgb2hsv(x)
+    host = host_t._hsv2rgb(np.mod(hh + shift, 1.0), ss, vv)
+    dh, ds_, dv = dev._rgb2hsv(jnp.asarray(x))
+    device = np.asarray(dev._hsv2rgb(jnp.mod(dh + shift, 1.0), ds_, dv))
+    np.testing.assert_allclose(device, host, atol=2e-6)

@@ -116,3 +116,28 @@ def test_epic_submission_json_format(epic_root, tmp_path):
         assert 0 <= v < 3 and 0 <= n < 5
         expected = one["verb"][str(v)] * one["noun"][str(n)]
         assert abs(score - expected) < 1e-6
+
+
+def test_epic_decode_retry_falls_back_with_consistent_labels(tmp_path):
+    """Decode failure falls back to the neighbor index AND takes the
+    neighbor's verb/noun labels (labels come from the same sample_info the
+    successful decode used — reference base_dataset.py:373-388 retries with
+    index+1; a label/video mismatch here would silently corrupt training)."""
+    from dist_tpu.data.datasets import Epickitchen100
+
+    root = str(tmp_path)
+    # index 0 -> corrupt file; index 1 -> valid, distinct labels
+    with open(os.path.join(root, "corrupt.mp4"), "wb") as f:
+        f.write(b"not a video")
+    _write_video(os.path.join(root, "good.mp4"))
+    with open(os.path.join(root, "epickitchen100_train_list.txt"), "w") as f:
+        f.write("corrupt.mp4 0 0\ngood.mp4 2 4\n")
+
+    cfg = _epic_cfg(root)
+    cfg.DATA.DATA_ROOT_DIR = root
+    cfg.DATA.ANNO_DIR = root
+    ds = Epickitchen100(cfg, "train")
+    item = ds[0]  # decode of corrupt.mp4 fails -> falls back to index 1
+    assert item["label_verb"] == 2 and item["label_noun"] == 4
+    assert item["index"] == 1
+    assert item["video"].shape == (4, 32, 32, 3)
