@@ -180,7 +180,6 @@ def convert_dist_net(sd, dist_cfg):
         return np.ascontiguousarray(np.transpose(x, (0, 3, 4, 5, 2, 1)))
 
     ladder = {
-        "input_linear": {"kernel": st(in_lin["weight"]), "bias": in_lin["bias"]},
         "temporal_net": {
             "ln": {"scale": t_nets["ln.weight"], "bias": t_nets["ln.bias"]},
             "c_fc1": {"kernel": sconv3d(t_nets["temporal_net.c_fc1.weight"]),
@@ -240,6 +239,10 @@ def convert_dist_net(sd, dist_cfg):
 
     dist_params = {
         "ladder": ladder,
+        # the per-layer tap projections live OUTSIDE the scan as one stacked
+        # batched matmul (dist_net.py::StackedInputLinear): kernel (n, d, c)
+        "input_linears": {"kernel": st(in_lin["weight"]),
+                          "bias": in_lin["bias"]},
         "temporal_stem": {"kernel": _conv3d(sd["dist_net.temporal_stem.weight"]),
                           "bias": sd["dist_net.temporal_stem.bias"]},
         "proj_spatial_cls_token": {

@@ -261,19 +261,49 @@ class Integration2Temporal(nn.Module):
         return jnp.repeat(x, self.cfg.alpha, axis=1)
 
 
+class StackedInputLinear(nn.Module):
+    """All per-layer 768->384 tap projections (``input_linears``,
+    dist.py:183) as ONE batched einsum over the stacked taps.
+
+    Inside the scan these are 12/24 small GEMMs (one per ladder step, each
+    latency-bound); hoisted out they are a single (n, bt*L, d_model) x
+    (n, d_model, c) batched matmul that runs at near-peak MXU rate, and the
+    scan's xs input shrinks from d_model to integration_dim (half the HBM
+    traffic through the loop). Param tree: kernel (n, d_model, c),
+    bias (n, c) — the direct stack of the reference's Linear weights.
+    """
+
+    n: int
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, taps):
+        # taps (n, bt, L, d_model)
+        d = taps.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(batch_axis=(0,)),
+            (self.n, d, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.n, self.features), jnp.float32)
+        y = jnp.einsum("nblc,ncf->nblf", taps.astype(self.dtype),
+                       kernel.astype(self.dtype))
+        return y + bias.astype(self.dtype)[:, None, None, :]
+
+
 class _LadderStep(nn.Module):
-    """One ladder iteration (dist.py:227-235), scanned over selected layers."""
+    """One ladder iteration (dist.py:227-235), scanned over selected layers.
+    ``tap_mid`` is the already-projected CLIP tap (see StackedInputLinear)."""
 
     cfg: DiSTConfig
     d_model: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, carry, tap):
+    def __call__(self, carry, tap_mid):
         x_temporal, res_feat, _ = carry
         x_temporal = TemporalNet(self.cfg, self.dtype, name="temporal_net")(x_temporal)
-        mid = nn.Dense(self.cfg.integration_dim, dtype=self.dtype,
-                       param_dtype=jnp.float32, name="input_linear")(tap) + res_feat
+        mid = tap_mid + res_feat
         upd_temporal = Integration2Temporal(
             self.cfg, self.dtype, name="integration2temporal")(mid) + x_temporal
         upd_mid = mid + Temporal2Integration(
@@ -349,6 +379,10 @@ class DiSTNetwork(nn.Module):
             dtype=self.dtype, name="temporal_stem",
         )(video)
 
+        taps_mid = StackedInputLinear(
+            n=n_sel, features=c, dtype=self.dtype, name="input_linears"
+        )(taps_selected)
+
         Ladder = nn.scan(
             nn.remat(_LadderStep) if self.remat else _LadderStep,
             variable_axes={"params": 0},
@@ -359,8 +393,7 @@ class DiSTNetwork(nn.Module):
         )
         (x_temporal, res_feat, upd_mid), _ = Ladder(
             self.cfg, self.d_model, self.dtype, name="ladder"
-        )((x_temporal, jnp.zeros_like(zeros_mid), zeros_mid),
-          taps_selected.astype(self.dtype))
+        )((x_temporal, jnp.zeros_like(zeros_mid), zeros_mid), taps_mid)
 
         current_feat = res_feat + upd_mid
 

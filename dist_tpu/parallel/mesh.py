@@ -42,8 +42,30 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh, batch):
-    """Place a host batch pytree with the leading axis sharded over data."""
+def frame_sharding(mesh: Mesh) -> NamedSharding:
+    """Video tensors sharded on the FRAME axis (B, T, ...) over data.
+
+    The frozen tower treats frames independently (SURVEY section 5.7), so a
+    single long video can spread over the whole mesh — the multi-chip
+    low-latency serving path for batch sizes below the device count
+    (``TPU.SHARD_FRAMES``)."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
+def shard_batch(mesh, batch, shard_frames=False):
+    """Place a host batch pytree with the leading axis sharded over data.
+
+    ``shard_frames``: shard the video's frame axis instead (small-batch
+    inference); non-video per-sample tensors are replicated since the
+    batch axis no longer matches the data axis."""
+    if shard_frames:
+        fs, rep = frame_sharding(mesh), replicated(mesh)
+        return {
+            k: jax.device_put(
+                v, fs if (hasattr(v, "ndim") and v.ndim >= 5) else rep)
+            if hasattr(v, "ndim") else v
+            for k, v in batch.items()
+        }
     s = batch_sharding(mesh)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, s) if hasattr(x, "ndim") and x.ndim > 0

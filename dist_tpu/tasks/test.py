@@ -108,10 +108,15 @@ def perform_test(cfg, mesh, state, eval_step, loader, meter, text_features):
     Lag-1 pipelined: batch k's predictions are fetched to the host while
     batch k+1 computes on device, so meter bookkeeping and the device
     forward overlap (same pattern as the train loop's metric readback)."""
+    # frame-axis sharding: single/small-batch multi-chip inference — the
+    # frozen tower is frame-parallel, so latency scales with the mesh even
+    # at batch 1 (TPU.SHARD_FRAMES; see parallel/mesh.py::frame_sharding)
+    shard_frames = bool(cfg.get("TPU") and cfg.TPU.get("SHARD_FRAMES"))
     pending = None
     for cur_iter, batch in enumerate(loader):
         device_batch = shard_batch(mesh, {
-            "video": batch["video"], "labels": batch["label"]})
+            "video": batch["video"], "labels": batch["label"]},
+            shard_frames=shard_frames)
         if text_features is not None:
             device_batch["text_features"] = text_features
         metrics = eval_step(state, device_batch)

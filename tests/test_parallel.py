@@ -92,3 +92,48 @@ def test_tp_step_preserves_param_shardings_and_data_sharded_batch():
     for k in tp_keys:
         assert norm(fa[k]) == norm(fb[k]), (
             f"{k} lost its TP sharding: {fb[k]} -> {fa[k]}")
+
+
+def test_shard_frames_eval_matches_replicated():
+    """TPU.SHARD_FRAMES: batch-1 eval with the FRAME axis sharded over the
+    data axis produces the same predictions as unsharded eval (the frozen
+    tower is frame-parallel — single-video multi-chip inference)."""
+    import os
+    from dist_tpu.config import load_config
+    from dist_tpu.models.base.models import build_model
+    from dist_tpu.parallel.mesh import build_mesh, shard_batch
+    from dist_tpu.tasks.state import TrainState, make_eval_step
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(
+        os.path.join(REPO, "configs/projects/dist/test/tiny_synth.yaml"),
+        opts=["DATA.NUM_INPUT_FRAMES", "8", "TEST.BATCH_SIZE", "1",
+              # fp32: sharded reductions reorder sums; at bf16 that shows
+              # up as ~0.3% softmax wiggle, at fp32 it stays ~1e-6
+              "TRAIN.MIXED_PRECISION", "false"],
+        make_output_dir=False)
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    video = jax.random.randint(rng, (1, 8, 64, 64, 3), 0, 255,
+                               jnp.int32).astype(jnp.uint8)
+    variables = model.init(rng, {"video": video.astype(jnp.float32)})
+    state = TrainState(step=jnp.zeros((), jnp.int32), variables=variables,
+                       opt_state=(), ema_variables=None)
+    text = jax.random.normal(rng, (12, 32), jnp.float32)
+    mesh = build_mesh(cfg)
+    assert mesh.devices.size == 8
+
+    step = jax.jit(make_eval_step(model, cfg))
+    with mesh:
+        # batch 1 cannot shard over 8 devices on the batch axis — the
+        # baseline passes host arrays (jit replicates them)
+        b_rep = {"video": video, "labels": jnp.zeros((1,), jnp.int32)}
+        b_fr = shard_batch(mesh, {"video": video, "labels": jnp.zeros((1,), jnp.int32)},
+                           shard_frames=True)
+        # frame sharding really placed the T axis over the data axis
+        assert "data" in str(b_fr["video"].sharding.spec)
+        b_rep["text_features"] = text
+        b_fr["text_features"] = text
+        out_rep = np.asarray(step(state, b_rep)["preds"])
+        out_fr = np.asarray(step(state, b_fr)["preds"])
+    np.testing.assert_allclose(out_fr, out_rep, atol=2e-5, rtol=1e-4)
