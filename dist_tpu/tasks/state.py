@@ -20,7 +20,21 @@ from dist_tpu.data.mixup import MixupConfig, mixup_batch
 from dist_tpu.data.transforms import normalize_device
 from dist_tpu.ops.augment_device import DeviceAugConfig, device_augment
 from dist_tpu.optim.losses import calculate_loss
-from dist_tpu.utils.metrics import topks_correct
+from dist_tpu.utils.metrics import joint_topks_correct, topks_correct
+
+
+def _epic_errors(preds, verb_labels, noun_labels, normalized):
+    """Joint verb/noun/action top-1/5 errors for dict predictions
+    (reference eval_epoch, runs/train.py:268-296): the action (joint) error
+    is the headline top1/top5; per-head errors ride as custom stats."""
+    counts = joint_topks_correct(preds["verb_class"], preds["noun_class"],
+                                 verb_labels, noun_labels, (1, 5),
+                                 normalized=normalized)
+    n = preds["verb_class"].shape[0]
+    err = {k: (1.0 - v / n) * 100.0 for k, v in counts.items()}
+    return (err.pop("action_top1"), err.pop("action_top5"),
+            {f"{k.rsplit('_', 1)[1]}_err_{k.rsplit('_', 1)[0]}": v
+             for k, v in err.items()})
 
 
 def _prep_video(cfg, video):
@@ -143,7 +157,14 @@ def make_train_step(model, cfg, tx, lr_fn, mesh=None):
                 lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
                 ema_variables, variables)
 
-        if pretrain or isinstance(preds, dict):
+        head_errs = {}
+        if isinstance(preds, dict) and "label_verb" in batch:
+            # EPIC: joint action error as the headline metric
+            # (reference train_epoch joint_topks path)
+            top1_err, top5_err, head_errs = _epic_errors(
+                preds, batch["label_verb"], batch["label_noun"],
+                normalized=False)
+        elif pretrain or isinstance(preds, dict):
             top1_err = top5_err = jnp.float32(0.0)
         else:
             c1, c5 = topks_correct(preds, batch["labels"], (1, 5))
@@ -155,6 +176,7 @@ def make_train_step(model, cfg, tx, lr_fn, mesh=None):
             "top1_err": top1_err,
             "top5_err": top5_err,
             "lr": lr_fn(state.step),
+            **head_errs,
             **parts,
         }
         new_state = TrainState(step=state.step + 1, variables=variables,
@@ -173,7 +195,15 @@ def make_eval_step(model, cfg, use_ema=False):
                   "text_features": batch.get("text_features")}
         preds, _ = model.apply(variables, inputs, train=False)
         if isinstance(preds, dict):
-            # EPIC dual-head path: top-k handled by the EpicKitchenMeter
+            if "label_verb" in batch:
+                # in-train EPIC eval: joint action error + per-head stats
+                # (the multi-view TestMeter path computes its own ensembled
+                # metrics from the raw preds)
+                top1, top5, head_errs = _epic_errors(
+                    preds, batch["label_verb"], batch["label_noun"],
+                    normalized=True)  # eval heads emit softmax scores
+                return {"preds": preds, "top1_err": top1, "top5_err": top5,
+                        **head_errs}
             return {"preds": preds,
                     "top1_err": jnp.float32(0.0),
                     "top5_err": jnp.float32(0.0)}

@@ -174,11 +174,20 @@ def eval_epoch(cfg, mesh, state, eval_step, loader, meter, cur_epoch,
     """(reference runs/train.py:209-329)"""
     meter.reset()
     for batch in loader:
-        device_batch = shard_batch(mesh, {
-            "video": batch["video"], "labels": batch["label"]})
+        host_batch = {"video": batch["video"], "labels": batch["label"]}
+        for extra_key in ("label_verb", "label_noun"):
+            if extra_key in batch:
+                # EPIC dual labels: the eval step reports the joint action
+                # error plus per-head custom stats (reference eval_epoch)
+                host_batch[extra_key] = batch[extra_key]
+        device_batch = shard_batch(mesh, host_batch)
         if text_features is not None:
             device_batch["text_features"] = text_features
         metrics = jax.device_get(eval_step(state, device_batch))
         meter.update_stats(float(metrics["top1_err"]), float(metrics["top5_err"]),
                            batch["video"].shape[0] * jax.process_count())
+        extra = {k: float(v) for k, v in metrics.items()
+                 if k not in ("top1_err", "top5_err", "preds")}
+        if extra:
+            meter.update_custom_stats(extra)
     return meter.log_epoch_stats(cur_epoch)

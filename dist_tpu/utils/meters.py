@@ -149,6 +149,8 @@ class ValMeter:
         self.min_top5_err = 100.0
         self.all_preds = []
         self.all_labels = []
+        self.custom_sums = {}
+        self.custom_counts = {}
 
     def reset(self):
         self.num_top1_mis = 0
@@ -156,6 +158,8 @@ class ValMeter:
         self.num_samples = 0
         self.all_preds = []
         self.all_labels = []
+        self.custom_sums = {}
+        self.custom_counts = {}
 
     def iter_tic(self):
         pass
@@ -167,6 +171,13 @@ class ValMeter:
         self.num_top1_mis += top1_err * mb_size
         self.num_top5_mis += top5_err * mb_size
         self.num_samples += mb_size
+
+    def update_custom_stats(self, stats):
+        """Sample-weighted custom scalars (e.g. EPIC per-head errors,
+        reference eval_epoch val_meter.update_custom_stats)."""
+        for k, v in stats.items():
+            self.custom_sums[k] = self.custom_sums.get(k, 0.0) + float(v)
+            self.custom_counts[k] = self.custom_counts.get(k, 0) + 1
 
     def update_predictions(self, preds, labels):
         self.all_preds.append(np.asarray(preds))
@@ -187,6 +198,8 @@ class ValMeter:
             "min_top1_err": self.min_top1_err,
             "min_top5_err": self.min_top5_err,
         }
+        for k, s in self.custom_sums.items():
+            stats[k] = s / max(self.custom_counts[k], 1)
         logging.log_json_stats(stats)
         return stats
 

@@ -12,10 +12,12 @@ import jax.numpy as jnp
 def topks_correct(preds, labels, ks):
     """Number of top-k correct predictions for each k
     (utils/metrics.py:102-135). preds (N, C), labels (N,)."""
-    max_k = max(ks)
+    # clamp k to the class count (tiny smoke heads can have < 5 classes)
+    c = preds.shape[-1]
+    max_k = min(max(ks), c)
     _, top_idx = jax.lax.top_k(preds, max_k)          # (N, max_k)
     correct = top_idx == labels[:, None]              # (N, max_k)
-    return [jnp.sum(correct[:, :k]).astype(jnp.float32) for k in ks]
+    return [jnp.sum(correct[:, :min(k, c)]).astype(jnp.float32) for k in ks]
 
 
 def topk_errors(preds, labels, ks):
@@ -29,12 +31,21 @@ def topk_accuracies(preds, labels, ks):
     return [(c / n) * 100.0 for c in topks_correct(preds, labels, ks)]
 
 
-def joint_topks_correct(verb_preds, noun_preds, verb_labels, noun_labels, ks):
+def joint_topks_correct(verb_preds, noun_preds, verb_labels, noun_labels, ks,
+                        normalized=False):
     """EPIC joint action top-k: outer product of verb/noun scores
-    (utils/metrics.py:12-99). Returns dict of correct counts per k."""
+    (utils/metrics.py:12-99). Returns dict of correct counts per k.
+
+    ``normalized=True`` skips the softmax (eval-mode heads already emit
+    softmax scores — the reference's runtime ``pred.sum(-1) != 1`` check
+    becomes a static flag under jit)."""
     n = verb_preds.shape[0]
-    vp = jax.nn.softmax(verb_preds.astype(jnp.float32), axis=-1)
-    np_ = jax.nn.softmax(noun_preds.astype(jnp.float32), axis=-1)
+    if normalized:
+        vp = verb_preds.astype(jnp.float32)
+        np_ = noun_preds.astype(jnp.float32)
+    else:
+        vp = jax.nn.softmax(verb_preds.astype(jnp.float32), axis=-1)
+        np_ = jax.nn.softmax(noun_preds.astype(jnp.float32), axis=-1)
     joint = vp[:, :, None] * np_[:, None, :]          # (N, V, Nn)
     flat = joint.reshape(n, -1)
     labels_flat = verb_labels * noun_preds.shape[-1] + noun_labels

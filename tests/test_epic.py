@@ -83,6 +83,10 @@ def test_epic_train_step_dict_labels(epic_root):
     _, metrics = step(state, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["loss"]))
     assert "loss_verb_class" in metrics and "loss_noun_class" in metrics
+    # joint action error is the headline metric (reference train_epoch
+    # joint_topks path); per-head errors ride as custom stats
+    assert 0.0 <= float(metrics["top1_err"]) <= 100.0
+    assert "top1_err_verb" in metrics and "top5_err_noun" in metrics
 
 
 def test_epic_submission_json_format(epic_root, tmp_path):
@@ -141,3 +145,26 @@ def test_epic_decode_retry_falls_back_with_consistent_labels(tmp_path):
     assert item["label_verb"] == 2 and item["label_noun"] == 4
     assert item["index"] == 1
     assert item["video"].shape == (4, 32, 32, 3)
+
+
+def test_epic_eval_step_joint_metrics(epic_root):
+    """make_eval_step on dict preds with verb/noun labels reports the joint
+    action top-1/5 error (reference eval_epoch, runs/train.py:268-296)."""
+    from dist_tpu.models.base.models import build_model
+    from dist_tpu.tasks.state import TrainState, make_eval_step
+
+    cfg = _epic_cfg(epic_root)
+    model = build_model(cfg)
+    video = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(1), {"video": video})
+    state = TrainState(step=jnp.zeros((), jnp.int32), variables=variables,
+                       opt_state=(), ema_variables=None)
+    step = jax.jit(make_eval_step(model, cfg))
+    batch = {"video": video, "labels": jnp.zeros((2,), jnp.int32),
+             "label_verb": jnp.asarray([0, 1]),
+             "label_noun": jnp.asarray([2, 3])}
+    metrics = step(state, batch)
+    assert isinstance(metrics["preds"], dict)
+    assert 0.0 <= float(metrics["top1_err"]) <= 100.0
+    assert float(metrics["top1_err"]) >= float(metrics["top5_err"]) - 1e-5
+    assert "top1_err_verb" in metrics and "top1_err_noun" in metrics
