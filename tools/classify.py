@@ -1,0 +1,127 @@
+#!/usr/bin/env python3
+"""Classify video files with a trained checkpoint — the minimal serving
+entry (multi-view score-sum ensemble, the reference's test protocol
+``runs/test.py:24-178`` applied to ad-hoc files instead of a dataset).
+
+Usage:
+  PYTHONPATH=. python tools/classify.py --cfg configs/projects/dist/k400/vit-b16-8+16f-eval.yaml \
+      --videos clip1.mp4 clip2.mp4 [--topk 5] [KEY VALUE ...]
+
+Checkpoint resolution follows the test-task priority (TEST.CHECKPOINT_FILE_PATH
+> last train checkpoint > TRAIN.CHECKPOINT_FILE_PATH); torch ``.pyth``/``.pt``
+checkpoints convert at load. ``TPU.SHARD_FRAMES true`` spreads a single
+video's frames across the device mesh.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", required=True)
+    ap.add_argument("--videos", nargs="+", required=True)
+    ap.add_argument("--topk", type=int, default=5)
+    ap.add_argument("opts", nargs="*", default=[])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dist_tpu.config import load_config
+    from dist_tpu.data import sampling, transforms
+    from dist_tpu.data.base_dataset import read_video
+    from dist_tpu.models.base.models import build_model
+    from dist_tpu.parallel.mesh import build_mesh, shard_batch
+    from dist_tpu.tasks.state import TrainState, make_eval_step
+    from dist_tpu.utils import checkpoint as cu
+
+    cfg = load_config(args.cfg, opts=list(args.opts), make_output_dir=False)
+    model = build_model(cfg)
+    mesh = build_mesh(cfg)
+    num_frames = int(cfg.DATA.NUM_INPUT_FRAMES)
+    views = int(cfg.TEST.NUM_ENSEMBLE_VIEWS)
+    crops = int(cfg.TEST.NUM_SPATIAL_CROPS)
+
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((1, num_frames, cfg.DATA.TEST_CROP_SIZE,
+                        cfg.DATA.TEST_CROP_SIZE, 3), jnp.float32)
+    variables = model.init(rng, {"video": sample})
+    w = (cfg.VIDEO.BACKBONE.get("LOCAL_PRETRAIN_WEIGHT_PATH")
+         or cfg.VIDEO.BACKBONE.get("PRETRAIN_WEIGHT_PATH"))
+    if w and os.path.exists(w):
+        variables = cu.load_torch_variables(cfg, w, variables)
+    state = TrainState(step=jnp.zeros((), jnp.int32), variables=variables,
+                       opt_state=(), ema_variables=None)
+    state = cu.load_test_checkpoint(cfg, state)
+
+    # label names + text features for the cosine-similarity classifier
+    label_names, text_features = None, None
+    labels_json = os.path.join(cfg.DATA.ANNO_DIR or "", "labels.json")
+    if os.path.exists(labels_json):
+        import json
+        with open(labels_json) as f:
+            mapping = json.load(f)  # {"label name": idx}
+        label_names = [None] * len(mapping)
+        for name, idx in mapping.items():
+            label_names[int(idx)] = name
+        from dist_tpu.data.tokenizer import tokenize
+        prompt = cfg.TEXT.get("PROMPT", "") if cfg.get("TEXT") else ""
+        tokens = tokenize([f"{prompt}{n}" for n in label_names])
+        text_features = jax.device_get(jax.jit(
+            lambda v, t: model.encode_text(v, t))(
+            state.variables, jnp.asarray(tokens)))
+    elif "Text" in str(cfg.VIDEO.HEAD.NAME):
+        # cosine-similarity classifier with no labels.json: fall back to
+        # generic per-class prompts so the tool still runs (class indices
+        # only, no names)
+        from dist_tpu.data.tokenizer import tokenize
+        n_cls = int(cfg.VIDEO.HEAD.NUM_CLASSES)
+        tokens = tokenize([f"a video of class {i}" for i in range(n_cls)])
+        text_features = jax.device_get(jax.jit(
+            lambda v, t: model.encode_text(v, t))(
+            state.variables, jnp.asarray(tokens)))
+
+    eval_step = jax.jit(make_eval_step(model, cfg))
+    shard_frames = bool(cfg.get("TPU") and cfg.TPU.get("SHARD_FRAMES"))
+
+    with mesh:
+        for path in args.videos:
+            import cv2
+            cap = cv2.VideoCapture(path)
+            total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+            cap.release()
+            clips = []
+            for v in range(views):
+                idx = sampling.get_frame_indices(
+                    cfg, total, fps, v, views,
+                    rng=np.random.default_rng(0), random_sample=False)
+                frames = read_video(path, idx)
+                for s in range(crops):
+                    clips.append(transforms.kinetics_resized_crop_controlled(
+                        frames, cfg.DATA.TEST_SCALE, cfg.DATA.TEST_CROP_SIZE,
+                        crops, s))
+            video = np.ascontiguousarray(np.stack(clips))  # (views*crops, T, S, S, 3)
+            batch = {"video": video,
+                     "labels": np.zeros((video.shape[0],), np.int64)}
+            batch = shard_batch(mesh, batch, shard_frames=shard_frames) \
+                if video.shape[0] % mesh.devices.size == 0 or shard_frames \
+                else batch
+            if text_features is not None:
+                batch["text_features"] = text_features
+            preds = np.asarray(eval_step(state, batch)["preds"])
+            scores = preds.sum(axis=0)  # score-sum ensemble (meters.py:102-107)
+            top = np.argsort(scores)[::-1][:args.topk]
+            print(f"\n{path}:")
+            for rank, cls in enumerate(top, 1):
+                name = label_names[cls] if label_names else f"class {cls}"
+                print(f"  {rank}. {name}  (score {scores[cls]:.4f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -24,7 +24,9 @@ def main():
     mid = jax.random.normal(rng, (bt, 197, 384), dt)
     tap = jax.random.normal(rng, (bt, 197, 768), dt)
     video = jax.random.normal(rng, (B, 16, 224, 224, 3), jnp.float32)
-    taps = jax.random.normal(rng, (12, bt, 197, 768), dt)
+    # ladder xs are the PROJECTED taps since StackedInputLinear hoisted
+    # the 768->384 projections out of the scan (dist_net.py)
+    taps = jax.random.normal(rng, (12, bt, 197, 384), dt)
 
     def sync(x):
         return np.asarray(jax.device_get(jax.tree_util.tree_leaves(x)[0].ravel()[:1]))
