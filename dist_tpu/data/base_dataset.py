@@ -32,6 +32,26 @@ DATASET_REGISTRY = Registry("Dataset")
 SSV2_FLIP_LABEL_MAP = {86: 87, 87: 86, 93: 94, 94: 93, 166: 167, 167: 166}
 
 
+def load_label_texts(cfg, anno_dir):
+    """labels.json -> (class-ordered label strings, CLIP BPE tokens (C, 77)).
+
+    The prompt/quote-strip behavior of the reference's label-text path
+    (base_dataset.py:92-108), shared by datasets and the classify tool."""
+    from dist_tpu.data.tokenizer import tokenize
+    with open(os.path.join(anno_dir, "labels.json")) as f:
+        lines = json.load(f)
+    prompt = (cfg.DATA.DATASET_LABEL_TEXT.get("PROMPT_PREFIX", "")
+              or cfg.DATA.DATASET_LABEL_TEXT.get("PROMPT", "") or "").strip()
+    labels2text = {}
+    for text, idx in lines.items():
+        text = text.replace('"', "").strip()
+        if prompt:
+            text = prompt + " " + text
+        labels2text[int(idx)] = text
+    texts = [labels2text[i] for i in range(len(labels2text))]
+    return texts, tokenize(texts)
+
+
 def read_video(path, frame_indices):
     """Decode the given frame indices: native C++ decoder (libavcodec,
     native/videodec.cpp — the decord replacement) when built, OpenCV
@@ -167,19 +187,8 @@ class BaseVideoDataset(abc.ABC):
     def _load_dataset_labels(self, cfg):
         """labels.json -> CLIP BPE tokens (C, 77)
         (base_dataset.py:92-108)."""
-        from dist_tpu.data.tokenizer import tokenize
-        with open(os.path.join(self.anno_dir, "labels.json")) as f:
-            lines = json.load(f)
-        prompt = (cfg.DATA.DATASET_LABEL_TEXT.get("PROMPT_PREFIX", "")
-                  or cfg.DATA.DATASET_LABEL_TEXT.get("PROMPT", "") or "").strip()
-        labels2text = {}
-        for text, idx in lines.items():
-            text = text.replace('"', "").strip()
-            if prompt:
-                text = prompt + " " + text
-            labels2text[int(idx)] = text
-        texts = [labels2text[i] for i in range(len(labels2text))]
-        self.text_tokens = tokenize(texts)
+        self.label_texts, self.text_tokens = load_label_texts(
+            cfg, self.anno_dir)
 
     def __len__(self):
         return len(self._samples)

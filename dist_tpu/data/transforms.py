@@ -130,40 +130,43 @@ def horizontal_flip(frames):
 _RGB2GRAY = np.asarray([0.299, 0.587, 0.114], np.float32)
 
 
-def _rgb2hsv(x):
+def _rgb2hsv(x, xp=np):
     """Vectorized RGB->HSV on float (..., 3) in [0,1]
-    (reference _rgb2hsv, transformations.py:206-225)."""
+    (reference _rgb2hsv, transformations.py:206-225). ``xp`` selects the
+    array namespace — numpy on the host path, jnp inside jit
+    (ops/augment_device.py) — one implementation for both."""
     r, g, b = x[..., 0], x[..., 1], x[..., 2]
     maxc = x.max(axis=-1)
     minc = x.min(axis=-1)
     eqc = maxc == minc
     cr = maxc - minc
-    ones = np.ones_like(maxc)
-    s = cr / np.where(eqc, ones, maxc)
-    cr_div = np.where(eqc, ones, cr)
+    ones = xp.ones_like(maxc)
+    s = cr / xp.where(eqc, ones, maxc)
+    cr_div = xp.where(eqc, ones, cr)
     rc = (maxc - r) / cr_div
     gc = (maxc - g) / cr_div
     bc = (maxc - b) / cr_div
     h = ((maxc == r) * (bc - gc)
          + ((maxc == g) & (maxc != r)) * (2.0 + rc - bc)
          + ((maxc != g) & (maxc != r)) * (4.0 + gc - rc))
-    h = np.mod(h / 6.0 + 1.0, 1.0)
+    h = xp.mod(h / 6.0 + 1.0, 1.0)
     return h, s, maxc
 
 
-def _hsv2rgb(h, s, v):
+def _hsv2rgb(h, s, v, xp=np):
     """Vectorized HSV->RGB (reference _hsv2rgb, transformations.py:227-257)."""
-    i = np.floor(h * 6.0)
+    i = xp.floor(h * 6.0)
     f = h * 6.0 - i
-    i = i.astype(np.int32) % 6
-    p = np.clip(v * (1.0 - s), 0.0, 1.0)
-    q = np.clip(v * (1.0 - s * f), 0.0, 1.0)
-    t = np.clip(v * (1.0 - s * (1.0 - f)), 0.0, 1.0)
+    i = i.astype(xp.int32) % 6
+    p = xp.clip(v * (1.0 - s), 0.0, 1.0)
+    q = xp.clip(v * (1.0 - s * f), 0.0, 1.0)
+    t = xp.clip(v * (1.0 - s * (1.0 - f)), 0.0, 1.0)
     # channel value by sextant: r,g,b each select from (v,q,p,p,t,v) etc.
-    r = np.choose(i, [v, q, p, p, t, v])
-    g = np.choose(i, [t, v, v, q, p, p])
-    b = np.choose(i, [p, p, t, v, v, q])
-    return np.stack([r, g, b], axis=-1)
+    idx = i[..., None]
+    r = xp.take_along_axis(xp.stack([v, q, p, p, t, v], axis=-1), idx, axis=-1)
+    g = xp.take_along_axis(xp.stack([t, v, v, q, p, p], axis=-1), idx, axis=-1)
+    b = xp.take_along_axis(xp.stack([p, p, t, v, v, q], axis=-1), idx, axis=-1)
+    return xp.concatenate([r, g, b], axis=-1)
 
 
 def color_jitter_clip(frames, rng, brightness=0, contrast=0, saturation=0,

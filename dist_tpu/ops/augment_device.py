@@ -43,11 +43,15 @@ class DeviceAugConfig:
         flip = 0.5
         if "ssv2" in str(cfg.TRAIN.get("DATASET", "")).lower():
             flip = 0.0
+        color_p = aug.get("COLOR")  # SSL/simclr gate (reference
+        if color_p is None:         # augmentations.py:108); else the
+            color_p = aug.get("COLOR_JITTER_P", 0.8)  # supervised key
         return cls(
             brightness=float(aug.BRIGHTNESS), contrast=float(aug.CONTRAST),
             saturation=float(aug.SATURATION), hue=float(aug.HUE),
             grayscale=float(aug.GRAYSCALE),
-            color_p=float(aug.get("COLOR_JITTER_P", 0.8) or 0.0),
+            color_p=float(color_p or 0.0),
+            blur_p=float(aug.get("BLUR", 0.0) or 0.0),
             flip=flip,
         )
 
@@ -57,44 +61,14 @@ def _per_sample(keys, fn, x):
 
 
 def _rgb2hsv(x):
-    """RGB->HSV on float (..., 3) in [0,1] (reference _rgb2hsv,
-    transformations.py:206-225), jnp version for the in-jit path."""
-    r, g, b = x[..., 0], x[..., 1], x[..., 2]
-    maxc = jnp.max(x, axis=-1)
-    minc = jnp.min(x, axis=-1)
-    eqc = maxc == minc
-    cr = maxc - minc
-    ones = jnp.ones_like(maxc)
-    s = cr / jnp.where(eqc, ones, maxc)
-    cr_div = jnp.where(eqc, ones, cr)
-    rc = (maxc - r) / cr_div
-    gc = (maxc - g) / cr_div
-    bc = (maxc - b) / cr_div
-    h = ((maxc == r) * (bc - gc)
-         + ((maxc == g) & (maxc != r)) * (2.0 + rc - bc)
-         + ((maxc != g) & (maxc != r)) * (4.0 + gc - rc))
-    h = jnp.mod(h / 6.0 + 1.0, 1.0)
-    return h, s, maxc
+    """Shared HSV math (data/transforms.py) with the jnp namespace."""
+    from dist_tpu.data.transforms import _rgb2hsv as impl
+    return impl(x, xp=jnp)
 
 
 def _hsv2rgb(h, s, v):
-    """HSV->RGB (reference _hsv2rgb, transformations.py:227-257)."""
-    i = jnp.floor(h * 6.0)
-    f = h * 6.0 - i
-    i = i.astype(jnp.int32) % 6
-    p = jnp.clip(v * (1.0 - s), 0.0, 1.0)
-    q = jnp.clip(v * (1.0 - s * f), 0.0, 1.0)
-    t = jnp.clip(v * (1.0 - s * (1.0 - f)), 0.0, 1.0)
-    # sextant select: stack the 6 candidates on a new axis and take_along
-    r = jnp.stack([v, q, p, p, t, v], axis=-1)
-    g = jnp.stack([t, v, v, q, p, p], axis=-1)
-    b = jnp.stack([p, p, t, v, v, q], axis=-1)
-    idx = i[..., None]
-    return jnp.concatenate([
-        jnp.take_along_axis(r, idx, axis=-1),
-        jnp.take_along_axis(g, idx, axis=-1),
-        jnp.take_along_axis(b, idx, axis=-1),
-    ], axis=-1)
+    from dist_tpu.data.transforms import _hsv2rgb as impl
+    return impl(h, s, v, xp=jnp)
 
 
 def color_jitter(rng, video, c: DeviceAugConfig):
@@ -123,11 +97,14 @@ def color_jitter(rng, video, c: DeviceAugConfig):
         if c.hue:
             hh, ss, vv = _rgb2hsv(y)
             y = _hsv2rgb(jnp.mod(hh + h_shift, 1.0), ss, vv)
+        # the jitter-prob gate covers ONLY the jitter chain; grayscale is an
+        # independent draw applied last (reference augmentations.py:142-143)
+        y = jnp.where(apply, y, x)
         gray_final = (y @ _RGB2GRAY)[..., None]
         gray3 = jnp.broadcast_to(gray_final, y.shape)
         to_gray = jax.random.uniform(k[5]) < c.grayscale
         y = jnp.where(to_gray, gray3, y)
-        return jnp.clip(jnp.where(apply, y, x), 0.0, 1.0)
+        return jnp.clip(y, 0.0, 1.0)
 
     return _per_sample(keys, one, video)
 

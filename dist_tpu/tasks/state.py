@@ -188,6 +188,12 @@ def make_train_step(model, cfg, tx, lr_fn, mesh=None):
 
 def make_eval_step(model, cfg, use_ema=False):
     """eval step: (state, batch) -> metrics (+ softmax preds for meters)."""
+    # heads emit softmax scores at eval only with the softmax activation
+    # (heads/transformer_head.py); the joint metric must not re-softmax
+    # those but must normalize anything else (the static analog of the
+    # reference's runtime pred.sum(-1) != 1 check, utils/metrics.py:54)
+    head_normalized = str(
+        cfg.VIDEO.HEAD.get("ACTIVATION", "softmax") or "") == "softmax"
 
     def step(state: TrainState, batch):
         variables = state.ema_variables if use_ema else state.variables
@@ -201,7 +207,7 @@ def make_eval_step(model, cfg, use_ema=False):
                 # metrics from the raw preds)
                 top1, top5, head_errs = _epic_errors(
                     preds, batch["label_verb"], batch["label_noun"],
-                    normalized=True)  # eval heads emit softmax scores
+                    normalized=head_normalized)
                 return {"preds": preds, "top1_err": top1, "top5_err": top5,
                         **head_errs}
             return {"preds": preds,

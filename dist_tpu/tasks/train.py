@@ -184,10 +184,11 @@ def eval_epoch(cfg, mesh, state, eval_step, loader, meter, cur_epoch,
         if text_features is not None:
             device_batch["text_features"] = text_features
         metrics = jax.device_get(eval_step(state, device_batch))
+        mb = batch["video"].shape[0] * jax.process_count()
         meter.update_stats(float(metrics["top1_err"]), float(metrics["top5_err"]),
-                           batch["video"].shape[0] * jax.process_count())
+                           mb)
         extra = {k: float(v) for k, v in metrics.items()
                  if k not in ("top1_err", "top5_err", "preds")}
         if extra:
-            meter.update_custom_stats(extra)
+            meter.update_custom_stats(extra, mb_size=mb)
     return meter.log_epoch_stats(cur_epoch)

@@ -172,12 +172,14 @@ class ValMeter:
         self.num_top5_mis += top5_err * mb_size
         self.num_samples += mb_size
 
-    def update_custom_stats(self, stats):
+    def update_custom_stats(self, stats, mb_size=1):
         """Sample-weighted custom scalars (e.g. EPIC per-head errors,
-        reference eval_epoch val_meter.update_custom_stats)."""
+        reference eval_epoch val_meter.update_custom_stats). ``mb_size``
+        weights each batch so the epoch average matches the headline
+        top1_err weighting on ragged final batches."""
         for k, v in stats.items():
-            self.custom_sums[k] = self.custom_sums.get(k, 0.0) + float(v)
-            self.custom_counts[k] = self.custom_counts.get(k, 0) + 1
+            self.custom_sums[k] = self.custom_sums.get(k, 0.0) + float(v) * mb_size
+            self.custom_counts[k] = self.custom_counts.get(k, 0) + mb_size
 
     def update_predictions(self, preds, labels):
         self.all_preds.append(np.asarray(preds))

@@ -34,54 +34,44 @@ def main():
 
     from dist_tpu.config import load_config
     from dist_tpu.data import sampling, transforms
-    from dist_tpu.data.base_dataset import read_video
+    from dist_tpu.data.base_dataset import load_label_texts, read_video
     from dist_tpu.models.base.models import build_model
     from dist_tpu.parallel.mesh import build_mesh, shard_batch
-    from dist_tpu.tasks.state import TrainState, make_eval_step
+    from dist_tpu.tasks.state import make_eval_step
+    from dist_tpu.tasks.test import _init_test_state
     from dist_tpu.utils import checkpoint as cu
 
     cfg = load_config(args.cfg, opts=list(args.opts), make_output_dir=False)
+    assert not isinstance(cfg.VIDEO.HEAD.NUM_CLASSES, (list, tuple)), (
+        "classify.py handles single-label heads; for EPIC verb/noun use "
+        "runs/run.py with SUBMISSION.ENABLE true")
     model = build_model(cfg)
     mesh = build_mesh(cfg)
     num_frames = int(cfg.DATA.NUM_INPUT_FRAMES)
     views = int(cfg.TEST.NUM_ENSEMBLE_VIEWS)
     crops = int(cfg.TEST.NUM_SPATIAL_CROPS)
 
-    rng = jax.random.PRNGKey(0)
-    sample = jnp.zeros((1, num_frames, cfg.DATA.TEST_CROP_SIZE,
-                        cfg.DATA.TEST_CROP_SIZE, 3), jnp.float32)
-    variables = model.init(rng, {"video": sample})
-    w = (cfg.VIDEO.BACKBONE.get("LOCAL_PRETRAIN_WEIGHT_PATH")
-         or cfg.VIDEO.BACKBONE.get("PRETRAIN_WEIGHT_PATH"))
-    if w and os.path.exists(w):
-        variables = cu.load_torch_variables(cfg, w, variables)
-    state = TrainState(step=jnp.zeros((), jnp.int32), variables=variables,
-                       opt_state=(), ema_variables=None)
+    # same init + checkpoint priority chain as the test task
+    state = _init_test_state(cfg, model, {"video": np.zeros(
+        (1, num_frames, cfg.DATA.TEST_CROP_SIZE, cfg.DATA.TEST_CROP_SIZE, 3),
+        np.float32)})
     state = cu.load_test_checkpoint(cfg, state)
 
-    # label names + text features for the cosine-similarity classifier
+    # label names + text features for the cosine-similarity classifier,
+    # built EXACTLY as the dataset does (prompt prefix + quote stripping)
     label_names, text_features = None, None
-    labels_json = os.path.join(cfg.DATA.ANNO_DIR or "", "labels.json")
-    if os.path.exists(labels_json):
-        import json
-        with open(labels_json) as f:
-            mapping = json.load(f)  # {"label name": idx}
-        label_names = [None] * len(mapping)
-        for name, idx in mapping.items():
-            label_names[int(idx)] = name
-        from dist_tpu.data.tokenizer import tokenize
-        prompt = cfg.TEXT.get("PROMPT", "") if cfg.get("TEXT") else ""
-        tokens = tokenize([f"{prompt}{n}" for n in label_names])
-        text_features = jax.device_get(jax.jit(
-            lambda v, t: model.encode_text(v, t))(
-            state.variables, jnp.asarray(tokens)))
+    if os.path.exists(os.path.join(cfg.DATA.ANNO_DIR or "", "labels.json")):
+        label_names, tokens = load_label_texts(cfg, cfg.DATA.ANNO_DIR)
     elif "Text" in str(cfg.VIDEO.HEAD.NAME):
-        # cosine-similarity classifier with no labels.json: fall back to
-        # generic per-class prompts so the tool still runs (class indices
-        # only, no names)
+        # cosine-similarity classifier with no labels.json: generic
+        # per-class prompts so the tool still runs (indices only, no names)
         from dist_tpu.data.tokenizer import tokenize
         n_cls = int(cfg.VIDEO.HEAD.NUM_CLASSES)
         tokens = tokenize([f"a video of class {i}" for i in range(n_cls)])
+        label_names = None
+    else:
+        tokens = None
+    if tokens is not None:
         text_features = jax.device_get(jax.jit(
             lambda v, t: model.encode_text(v, t))(
             state.variables, jnp.asarray(tokens)))
