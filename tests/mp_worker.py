@@ -1,0 +1,116 @@
+"""Worker for the real 2-process multihost test (test_multiprocess.py).
+
+Run as: python tests/mp_worker.py <port> <process_id>
+Initializes jax.distributed with 2 CPU processes x 4 virtual devices and
+exercises the host-side collectives + a global-mesh psum end to end.
+Exits non-zero on any mismatch.
+"""
+
+import os
+import sys
+
+port, pid = int(sys.argv[1]), int(sys.argv[2])
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=4")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=2, process_id=pid)
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from dist_tpu.parallel import collectives as C  # noqa: E402
+
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 8, len(jax.devices())
+assert C.get_rank() == pid and C.is_master_proc() == (pid == 0)
+
+# ---- all_gather_arrays: per-host rows concatenate in process order ----
+local = np.arange(3, dtype=np.int64) + 10 * pid
+ids, = C.all_gather_arrays(local)
+np.testing.assert_array_equal(ids, np.concatenate([np.arange(3),
+                                                   np.arange(3) + 10]))
+
+# two arrays at once, float + 2-D
+a2 = np.full((2, 2), float(pid), np.float32)
+g1, g2 = C.all_gather_arrays(local, a2)
+np.testing.assert_array_equal(g1, ids)
+assert g2.shape == (4, 2) and g2[:2].sum() == 0 and g2[2:].sum() == 4
+
+# ---- all_reduce_mean ----
+(m,) = C.all_reduce_mean(float(pid))
+assert m == 0.5, m
+
+# ---- broadcast_from_master ----
+v = C.broadcast_from_master(np.asarray([42 if pid == 0 else -1]))
+assert int(np.asarray(v)[0]) == 42, v
+
+# ---- global-mesh psum through jit (XLA collective over both processes) ----
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
+from jax.experimental import multihost_utils  # noqa: E402
+
+mesh = Mesh(np.asarray(jax.devices()).reshape(8, 1), ("data", "model"))
+local_shard = np.full((4, 2), float(pid + 1), np.float32)  # 4 rows per host
+garr = multihost_utils.host_local_array_to_global_array(
+    local_shard, mesh, P("data"))
+with mesh:
+    total = jax.jit(
+        lambda x: jnp.sum(x),
+        in_shardings=NamedSharding(mesh, P("data")),
+        out_shardings=NamedSharding(mesh, P()),
+    )(garr)
+# sum = 4*2*1 + 4*2*2 = 24 on every host
+assert float(total) == 24.0, float(total)
+
+# ---- loader sharding: disjoint per-host index shards ----
+from dist_tpu.config import load_config  # noqa: E402
+from dist_tpu.data.builder import build_loader  # noqa: E402
+
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+cfg = load_config(
+    os.path.join(repo, "configs/projects/dist/test/tiny_synth.yaml"),
+    opts=["TRAIN.BATCH_SIZE", "1", "TRAIN.NUM_SAMPLES_LIMIT", "16",
+          "DATA_LOADER.NUM_WORKERS", "0",
+          "OUTPUT_DIR", f"/tmp/mp_worker_{pid}"],
+    make_output_dir=False)
+loader = build_loader(cfg, "train")
+seen = []
+for batch in loader:
+    seen.extend(np.asarray(batch["index"]).tolist())
+(all_seen,) = C.all_gather_arrays(np.asarray(seen, np.int64))
+assert len(set(all_seen.tolist())) == len(all_seen), "hosts overlap"
+assert set(all_seen.tolist()) == set(range(16)), sorted(all_seen.tolist())
+
+# ---- multi-view TestMeter across hosts: each host scores its own index
+# shard, the gathered (preds, labels, ids) fill EVERY video slot and both
+# hosts finalize identical accuracies (reference runs/test.py:131-141) ----
+from dist_tpu.utils.meters import TestMeter  # noqa: E402
+
+cfg_t = load_config(
+    os.path.join(repo, "configs/projects/dist/test/tiny_synth.yaml"),
+    opts=["TEST.BATCH_SIZE", "1", "TEST.NUM_SAMPLES_LIMIT", "8",
+          "DATA_LOADER.NUM_WORKERS", "0",
+          "OUTPUT_DIR", f"/tmp/mp_worker_{pid}"],
+    make_output_dir=False)
+test_loader = build_loader(cfg_t, "test")
+views = cfg_t.TEST.NUM_ENSEMBLE_VIEWS * cfg_t.TEST.NUM_SPATIAL_CROPS
+num_videos = len(test_loader.dataset) // views
+nc = int(cfg_t.VIDEO.HEAD.NUM_CLASSES)
+meter = TestMeter(num_videos, views, nc, cfg_t, ensemble_method="sum")
+for batch in test_loader:
+    idx = np.asarray(batch["index"])
+    labels = np.asarray(batch["label"])
+    # deterministic fake scores: one-hot on (label) so accuracy must be 100
+    preds = np.eye(nc, dtype=np.float32)[labels]
+    g_preds, g_labels = C.all_gather_arrays(preds, labels)
+    (g_ids,) = C.all_gather_arrays(idx)
+    meter.update_stats(g_preds, g_labels, g_ids)
+stats = meter.finalize_metrics()
+assert float(stats["top1_acc"]) == 100.0, stats
+
+C.synchronize()
+print(f"mp_worker {pid}: OK")

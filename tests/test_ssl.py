@@ -292,3 +292,40 @@ def test_device_aug_never_flips_ssv2():
     assert DeviceAugConfig.from_cfg(cfg).flip == 0.0
     cfg.TRAIN.DATASET = "kinetics400"
     assert DeviceAugConfig.from_cfg(cfg).flip == 0.5
+
+
+def test_ssl_use_gpu_device_aug_per_view():
+    """USE_GPU SSL: the generator skips photometric ops (no double aug)
+    and the train step's device augmentation draws independent jitter per
+    VIEW (views are flattened before device_augment, tasks/state.py)."""
+    import numpy as np
+    from dist_tpu.ops.augment_device import DeviceAugConfig, device_augment
+    from dist_tpu.ssl.generator import ContrastiveGenerator
+
+    cfg = _ssl_cfg()
+    cfg.AUGMENTATION.USE_GPU = True
+    cfg.AUGMENTATION.BRIGHTNESS = 0.8
+    cfg.AUGMENTATION.CONTRAST = 0.0
+    cfg.AUGMENTATION.SATURATION = 0.0
+    cfg.AUGMENTATION.HUE = 0.0
+    cfg.AUGMENTATION.GRAYSCALE = 0.0
+    cfg.AUGMENTATION.COLOR = 1.0
+    cfg.AUGMENTATION.BLUR = 0.0
+    cfg.DATA.TRAIN_CROP_SIZE = 16
+    gen = ContrastiveGenerator(cfg, "train")
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (4, 32, 32, 3)).astype(np.uint8)
+    views, _ = gen([frames], {}, rng)
+    # host path applied only crop/flip: every view pixel value exists in
+    # the source frame set (photometric ops would synthesize new values)
+    src_vals = set(np.unique(frames).tolist())
+    assert set(np.unique(views).tolist()) <= src_vals
+
+    # device aug on the flattened views: per-view brightness factors differ
+    flat = jnp.asarray(views, jnp.float32)[None].reshape(-1, *views.shape[1:]) / 255.0
+    c = DeviceAugConfig.from_cfg(cfg)
+    assert c.color_p == 1.0 and c.blur_p == 0.0
+    out = device_augment(jax.random.PRNGKey(0), flat, c)
+    r0 = float(np.asarray(out[0]).mean()) / max(float(flat[0].mean()), 1e-6)
+    r1 = float(np.asarray(out[1]).mean()) / max(float(flat[1].mean()), 1e-6)
+    assert abs(r0 - r1) > 1e-3  # independent per-view draws
