@@ -202,6 +202,11 @@ def build_loader(cfg, split):
     import jax
 
     dataset = build_dataset(cfg, split)
+    assert data_axis_size(cfg) % jax.process_count() == 0 and \
+        data_axis_size(cfg) >= jax.process_count(), (
+        f"data mesh axis ({data_axis_size(cfg)}) must be a multiple of the "
+        f"process count ({jax.process_count()}): every host feeds the same "
+        "number of data shards — lower TPU.MESH.MODEL or use fewer hosts")
     scale = data_axis_size(cfg) // jax.process_count()
     if split == "train":
         batch_size = int(cfg.TRAIN.BATCH_SIZE) * scale

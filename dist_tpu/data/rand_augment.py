@@ -261,6 +261,10 @@ class RandAugment:
     def __call__(self, frames, rng=None):
         rng = rng or np.random.default_rng()
         for _ in range(self.num_ops):
+            # each chosen op fires with prob 0.5 (reference AugmentOp
+            # prob=0.5 in rand_augment_transform, auto_augment.py:630,334)
+            if rng.uniform() > 0.5:
+                continue
             name = self.ops[int(rng.integers(len(self.ops)))]
             frames = apply_op(name, frames,
                               _jitter(self.magnitude, self.mag_std, rng), rng)

@@ -125,13 +125,19 @@ class SimpleTokenizer:
 
 
 class _HashFallbackTokenizer:
-    """Deterministic stand-in when no BPE vocab is available."""
+    """Deterministic stand-in when no BPE vocab is available.
+
+    Uses crc32, NOT Python's builtin ``hash`` — str hashes are salted per
+    process (PYTHONHASHSEED), which would give every run/host different
+    token ids and silently diverge multi-host text features."""
 
     sot = 49406
     eot = 49407
 
     def encode(self, text):
-        return [(hash(w) % 49000) + 300 for w in _clean(text).split()][:40]
+        import zlib
+        return [(zlib.crc32(w.encode("utf-8")) % 49000) + 300
+                for w in _clean(text).split()][:40]
 
 
 @functools.lru_cache()

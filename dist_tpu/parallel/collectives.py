@@ -29,6 +29,27 @@ def get_rank():
     return jax.process_index()
 
 
+def local_rows(x):
+    """This process's rows of a batch-sharded global ``jax.Array`` as host
+    numpy, in row order.
+
+    ``jax.device_get`` on an array with non-addressable shards raises on
+    multi-host; the local rows are exactly what the per-host meters gather
+    (they correspond 1:1 with this host's loader indices). Replicated
+    arrays and single-process runs return the full array. Assumes only the
+    leading axis is sharded (the batch contract of ``shard_batch``)."""
+    if not hasattr(x, "addressable_shards") or jax.process_count() == 1:
+        return np.asarray(jax.device_get(x))
+    if getattr(x, "is_fully_replicated", False):
+        return np.asarray(jax.device_get(x))
+    seen = {}
+    for s in x.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in seen:
+            seen[start] = np.asarray(s.data)
+    return np.concatenate([seen[k] for k in sorted(seen)], axis=0)
+
+
 def all_gather_arrays(*arrays):
     """Gather per-host numpy arrays to every host (reference
     ``du.all_gather``, utils/distributed.py:19-38). Single-process: identity."""

@@ -55,10 +55,21 @@ def frame_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh, batch, shard_frames=False):
     """Place a host batch pytree with the leading axis sharded over data.
 
+    Single-process: a straight ``device_put``. Multi-process: each host's
+    batch is its own disjoint shard of the global batch (the loader hands
+    out per-host index shards), so the global array must be ASSEMBLED from
+    process-local data — ``jax.device_put`` under a cross-process sharding
+    would instead interpret each host's local batch as the (identical)
+    global value and silently drop (P-1)/P of every host's samples.
+
     ``shard_frames``: shard the video's frame axis instead (small-batch
     inference); non-video per-sample tensors are replicated since the
     batch axis no longer matches the data axis."""
     if shard_frames:
+        assert jax.process_count() == 1, (
+            "TPU.SHARD_FRAMES is a single-host serving path (each process "
+            "loads different samples, so a cross-host frame sharding would "
+            "mix distinct videos); use plain data sharding on pods")
         fs, rep = frame_sharding(mesh), replicated(mesh)
         return {
             k: jax.device_put(
@@ -67,6 +78,13 @@ def shard_batch(mesh, batch, shard_frames=False):
             for k, v in batch.items()
         }
     s = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        def place(x):
+            if not (hasattr(x, "ndim") and x.ndim > 0):
+                return x
+            import numpy as _np
+            return jax.make_array_from_process_local_data(s, _np.asarray(x))
+        return jax.tree_util.tree_map(place, batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, s) if hasattr(x, "ndim") and x.ndim > 0
         else x, batch)

@@ -37,6 +37,38 @@ def _epic_errors(preds, verb_labels, noun_labels, normalized):
              for k, v in err.items()})
 
 
+def init_variables(cfg, model, sample_video_shape):
+    """Init model variables and load pretrained CLIP weights when a local
+    path is configured (reference: clip.load at model build,
+    models/base/clip.py:614-629). Shared by the train/test/submission
+    tasks and tools/classify.py — the weight-path priority lives HERE."""
+    import os
+
+    rng = jax.random.PRNGKey(int(cfg.RANDOM_SEED))
+    variables = model.init(rng, {"video": jnp.zeros(
+        (2,) + tuple(sample_video_shape), jnp.float32)})
+    w = (cfg.VIDEO.BACKBONE.get("LOCAL_PRETRAIN_WEIGHT_PATH")
+         or cfg.VIDEO.BACKBONE.get("PRETRAIN_WEIGHT_PATH"))
+    if w and os.path.exists(w):
+        from dist_tpu.utils import checkpoint as cu
+        variables = cu.load_torch_variables(cfg, w, variables)
+    return variables
+
+
+def compute_text_features(model, variables, text_tokens, mesh=None):
+    """Encode the label texts ONCE host-side (the reference's cache_text,
+    models/base/clip.py:437-452) and commit them replicated on the mesh so
+    the per-step jit never re-uploads them. Returns None without tokens."""
+    if text_tokens is None:
+        return None
+    feats = jax.jit(lambda v, t: model.encode_text(v, t))(
+        variables, jnp.asarray(text_tokens))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(feats, NamedSharding(mesh, P()))
+    return jax.device_get(feats)
+
+
 def _prep_video(cfg, video):
     """uint8 host batches are normalized on-device inside the jit
     (the TPU analog of AUGMENTATION.USE_GPU, base_dataset.py:390-392)."""

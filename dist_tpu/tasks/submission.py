@@ -29,8 +29,7 @@ def submission_test(cfg):
 
     mesh = build_mesh(cfg)
     model = build_model(cfg)
-    cfg_test = cfg.deep_copy()
-    loader = build_loader(cfg_test, "submission")
+    loader = build_loader(cfg, "submission")
     dataset = loader.dataset
     num_views = cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
     num_videos = len(dataset) // num_views
@@ -39,12 +38,9 @@ def submission_test(cfg):
     state = _init_test_state(cfg, model, first_batch)
     state = cu.load_test_checkpoint(cfg, state)
 
-    text_features = None
-    if getattr(dataset, "text_tokens", None) is not None:
-        import jax.numpy as jnp
-        text_features = jax.device_get(jax.jit(
-            lambda v, t: model.encode_text(v, t))(
-            state.variables, jnp.asarray(dataset.text_tokens)))
+    from dist_tpu.tasks.state import compute_text_features
+    text_features = compute_text_features(
+        model, state.variables, getattr(dataset, "text_tokens", None), mesh)
 
     nc = cfg.VIDEO.HEAD.NUM_CLASSES
     dual = isinstance(nc, (list, tuple))
@@ -63,10 +59,14 @@ def submission_test(cfg):
             if text_features is not None:
                 device_batch["text_features"] = text_features
             metrics = eval_step(state, device_batch)
-            preds = jax.device_get(metrics["preds"])
             # each host evaluates its own index shard; the results file must
-            # carry ALL videos (identity under a single process)
-            from dist_tpu.parallel.collectives import all_gather_arrays
+            # carry ALL videos (identity under a single process). local_rows
+            # fetches this host's shard of the data-sharded preds.
+            from dist_tpu.parallel.collectives import (
+                all_gather_arrays, local_rows)
+            preds = metrics["preds"]
+            preds = ({k: local_rows(v) for k, v in preds.items()}
+                     if isinstance(preds, dict) else local_rows(preds))
             (ids,) = all_gather_arrays(batch["index"])
             if isinstance(preds, dict):
                 preds = dict(zip(preds, all_gather_arrays(

@@ -23,15 +23,8 @@ logger = logging.get_logger(__name__)
 
 
 def _init_test_state(cfg, model, sample_batch):
-    rng = jax.random.PRNGKey(int(cfg.RANDOM_SEED))
-    sample_inputs = {"video": jnp.zeros(
-        (2,) + tuple(sample_batch["video"].shape[1:]), jnp.float32)}
-    variables = model.init(rng, sample_inputs)
-    import os
-    w = (cfg.VIDEO.BACKBONE.get("LOCAL_PRETRAIN_WEIGHT_PATH")
-         or cfg.VIDEO.BACKBONE.get("PRETRAIN_WEIGHT_PATH"))
-    if w and os.path.exists(w):
-        variables = cu.load_torch_variables(cfg, w, variables)
+    from dist_tpu.tasks.state import init_variables
+    variables = init_variables(cfg, model, sample_batch["video"].shape[1:])
     return TrainState(step=jnp.zeros((), jnp.int32), variables=variables,
                       opt_state=(), ema_variables=None)
 
@@ -66,11 +59,9 @@ def test(cfg):
     if cfg.LOG_MODEL_INFO:
         misc.log_model_info(state.variables)
 
-    text_features = None
-    if getattr(dataset, "text_tokens", None) is not None:
-        text_features = jax.device_get(jax.jit(
-            lambda v, t: model.encode_text(v, t))(
-            state.variables, jnp.asarray(dataset.text_tokens)))
+    from dist_tpu.tasks.state import compute_text_features
+    text_features = compute_text_features(
+        model, state.variables, getattr(dataset, "text_tokens", None), mesh)
 
     with mesh:
         state = shard_params(mesh, state)
@@ -131,10 +122,14 @@ def perform_test(cfg, mesh, state, eval_step, loader, meter, text_features):
 def _consume_test_batch(cfg, meter, metrics, batch, cur_iter):
     # each host evaluates its own index shard; the meter needs all of them
     # (replaces the reference's NCCL all_gather, runs/test.py:131-141;
-    # all_gather_arrays is the identity under a single process)
-    from dist_tpu.parallel.collectives import all_gather_arrays
+    # all_gather_arrays is the identity under a single process).
+    # local_rows: this host's shard of the data-sharded preds — the rows
+    # matching batch["index"] (device_get would raise across hosts)
+    from dist_tpu.parallel.collectives import all_gather_arrays, local_rows
 
-    preds = jax.device_get(metrics["preds"])
+    preds = metrics["preds"]
+    preds = ({k: local_rows(v) for k, v in preds.items()}
+             if isinstance(preds, dict) else local_rows(preds))
     (ids,) = all_gather_arrays(batch["index"])
     if isinstance(preds, dict):
         # EPIC dual-head: labels arrive as separate verb/noun columns

@@ -32,20 +32,8 @@ logger = logging.get_logger(__name__)
 
 
 def _init_state(cfg, model, sample_batch, steps_per_epoch):
-    rng = jax.random.PRNGKey(int(cfg.RANDOM_SEED))
-    sample_inputs = {"video": jnp.zeros(
-        (2,) + tuple(sample_batch["video"].shape[1:]), jnp.float32)}
-    variables = model.init(rng, sample_inputs)
-
-    # pretrained CLIP weights (reference: clip.load at model build,
-    # models/base/clip.py:614-629)
-    import os
-    w = (cfg.VIDEO.BACKBONE.get("LOCAL_PRETRAIN_WEIGHT_PATH")
-         or cfg.VIDEO.BACKBONE.get("PRETRAIN_WEIGHT_PATH"))
-    if w and os.path.exists(w):
-        variables = cu.load_torch_variables(cfg, w, variables)
-        logger.info("Loaded pretrained CLIP weights from %s", w)
-
+    from dist_tpu.tasks.state import init_variables
+    variables = init_variables(cfg, model, sample_batch["video"].shape[1:])
     tx, lr_fn = construct_optimizer(cfg, variables, steps_per_epoch)
     ema_decay = (float(cfg.MODEL.EMA.DECAY)
                  if cfg.MODEL.get("EMA") and cfg.MODEL.EMA.ENABLE else None)
@@ -53,12 +41,10 @@ def _init_state(cfg, model, sample_batch, steps_per_epoch):
     return state, tx, lr_fn
 
 
-def _text_features(cfg, model, state, dataset):
-    if getattr(dataset, "text_tokens", None) is None:
-        return None
-    feats = jax.jit(lambda v, t: model.encode_text(v, t))(
-        state.variables, jnp.asarray(dataset.text_tokens))
-    return jax.device_get(feats)
+def _text_features(cfg, model, state, dataset, mesh=None):
+    from dist_tpu.tasks.state import compute_text_features
+    return compute_text_features(model, state.variables,
+                                 getattr(dataset, "text_tokens", None), mesh)
 
 
 def train(cfg):
@@ -84,7 +70,8 @@ def train(cfg):
         misc.log_model_info(state.variables)
     state, start_epoch = cu.load_train_checkpoint(cfg, state)
 
-    text_features = _text_features(cfg, model, state, train_loader.dataset)
+    text_features = _text_features(cfg, model, state, train_loader.dataset,
+                                   mesh)
 
     with mesh:
         state = shard_params(mesh, state)
@@ -97,6 +84,10 @@ def train(cfg):
 
         rng = jax.random.PRNGKey(int(cfg.RANDOM_SEED) + 1)
         num_folds = int(cfg.TRAIN.get("NUM_FOLDS", 1))
+        assert (cfg.OPTIMIZER.MAX_EPOCH - start_epoch) % num_folds == 0, (
+            f"remaining epochs ({cfg.OPTIMIZER.MAX_EPOCH} - {start_epoch}) "
+            f"must be divisible by TRAIN.NUM_FOLDS={num_folds} "
+            "(reference runs/train.py:401)")
         train_meter = TrainMeter(len(train_loader), cfg)
         val_meter = ValMeter(len(val_loader), cfg)
 
@@ -183,7 +174,12 @@ def eval_epoch(cfg, mesh, state, eval_step, loader, meter, cur_epoch,
         device_batch = shard_batch(mesh, host_batch)
         if text_features is not None:
             device_batch["text_features"] = text_features
-        metrics = jax.device_get(eval_step(state, device_batch))
+        metrics = eval_step(state, device_batch)
+        # drop the data-sharded preds before fetching: eval-in-train only
+        # consumes the (replicated) scalar metrics, and device_get on a
+        # cross-host-sharded array raises
+        metrics = jax.device_get(
+            {k: v for k, v in metrics.items() if k != "preds"})
         mb = batch["video"].shape[0] * jax.process_count()
         meter.update_stats(float(metrics["top1_err"]), float(metrics["top5_err"]),
                            mb)

@@ -63,11 +63,18 @@ def is_checkpoint_epoch(cfg, cur_epoch):
 
 
 def save_checkpoint(cfg, state, cur_epoch):
-    """Save the full TrainState at OUTPUT_DIR/checkpoints/ (orbax)."""
-    path = _ckpt_path(cfg, cur_epoch + 1)
+    """Save the full TrainState at OUTPUT_DIR/checkpoints/ (orbax).
+
+    The stored ``epoch`` is the NEXT fold-epoch start (``cur_epoch +
+    NUM_FOLDS``): one fold-epoch covers NUM_FOLDS data epochs, so resuming
+    at ``cur_epoch + 1`` would fall off the fold grid, re-train covered
+    epochs, and overshoot MAX_EPOCH (reference stores the last covered
+    epoch and resumes at +1, runs/train.py:414 + checkpoint.py:544)."""
+    next_epoch = cur_epoch + int(cfg.TRAIN.get("NUM_FOLDS", 1))
+    path = _ckpt_path(cfg, next_epoch)
     ckptr = ocp.StandardCheckpointer()
     payload = {
-        "epoch": np.asarray(cur_epoch + 1, np.int32),
+        "epoch": np.asarray(next_epoch, np.int32),
         "step": np.asarray(state.step),
         "variables": state.variables,
         "opt_state": state.opt_state,

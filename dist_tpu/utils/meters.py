@@ -52,7 +52,11 @@ class TrainMeter:
     def __init__(self, epoch_iters, cfg):
         self.cfg = cfg
         self.epoch_iters = epoch_iters
-        self.max_iter = cfg.OPTIMIZER.MAX_EPOCH * epoch_iters
+        # epoch_iters is the FOLD-epoch length (NUM_FOLDS data epochs per
+        # loop pass), so total iterations divide by NUM_FOLDS
+        # (reference meters.py:534)
+        self.num_folds = int(cfg.TRAIN.get("NUM_FOLDS", 1) or 1)
+        self.max_iter = cfg.OPTIMIZER.MAX_EPOCH * epoch_iters / self.num_folds
         self.iter_timer = Timer()
         self.loss = ScalarMeter(cfg.LOG_PERIOD)
         self.loss_total = 0.0
@@ -76,6 +80,10 @@ class TrainMeter:
         self.custom = {}
 
     def iter_tic(self):
+        # reset (not accumulate): seconds() reports the LAST iteration's
+        # time, and the ETA multiplies it by the remaining iteration count
+        # (reference meters.py:563-567 resets per iteration)
+        self.iter_timer.reset()
         self.iter_timer.tic()
 
     def iter_toc(self):
@@ -99,8 +107,9 @@ class TrainMeter:
             self.custom[k].add_value(float(v))
 
     def _eta(self, cur_epoch, cur_iter):
-        remaining = self.max_iter - (cur_epoch * self.epoch_iters + cur_iter + 1)
-        secs = self.iter_timer.seconds() * max(remaining, 0)
+        # cur_epoch strides by NUM_FOLDS (one fold-epoch per loop pass)
+        done = cur_epoch * self.epoch_iters / self.num_folds + cur_iter + 1
+        secs = self.iter_timer.seconds() * max(self.max_iter - done, 0)
         return str(datetime.timedelta(seconds=int(secs)))
 
     def log_iter_stats(self, cur_epoch, cur_iter):
@@ -120,7 +129,6 @@ class TrainMeter:
         for k, v in self.custom.items():
             stats[k] = v.get_win_median()
         logging.log_json_stats(stats)
-        self.iter_timer.reset()
 
     def log_epoch_stats(self, cur_epoch):
         if self.num_samples == 0:

@@ -85,6 +85,27 @@ for batch in loader:
 assert len(set(all_seen.tolist())) == len(all_seen), "hosts overlap"
 assert set(all_seen.tolist()) == set(range(16)), sorted(all_seen.tolist())
 
+# ---- production shard_batch: per-host LOCAL batches must assemble into
+# a GLOBAL batch of P x local rows (device_put would silently treat each
+# host's batch as the global value and drop half of every host's data) ----
+from dist_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, shard_batch  # noqa: E402
+from dist_tpu.parallel.collectives import local_rows  # noqa: E402
+
+mesh2 = Mesh(np.asarray(jax.devices()).reshape(8, 1), (DATA_AXIS, MODEL_AXIS))
+local_batch = {"video": np.full((4, 2, 8, 8, 3), pid, np.uint8),
+               "labels": np.arange(4, dtype=np.int64) + 100 * pid}
+with mesh2:
+    g = shard_batch(mesh2, local_batch)
+    assert g["video"].shape == (8, 2, 8, 8, 3), g["video"].shape
+    assert g["labels"].shape == (8,), g["labels"].shape
+    # the jitted sum sees BOTH hosts' samples
+    lab_sum = jax.jit(lambda x: jnp.sum(x),
+                      out_shardings=NamedSharding(mesh2, P()))(g["labels"])
+    assert int(lab_sum) == (0 + 1 + 2 + 3) * 2 + 100 * 4, int(lab_sum)
+    # local_rows returns exactly this host's rows (device_get would raise)
+    mine = local_rows(g["labels"])
+    np.testing.assert_array_equal(mine, local_batch["labels"])
+
 # ---- multi-view TestMeter across hosts: each host scores its own index
 # shard, the gathered (preds, labels, ids) fill EVERY video slot and both
 # hosts finalize identical accuracies (reference runs/test.py:131-141) ----

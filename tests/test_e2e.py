@@ -94,3 +94,29 @@ def test_multiview_padded_batch_matches_divisible(tiny_cfg):
     padded = test_task(cfg)
     assert divisible["top1_acc"] == padded["top1_acc"]
     assert divisible["top5_acc"] == padded["top5_acc"]
+
+
+def test_checkpoint_resume_stays_on_fold_grid(tmp_path):
+    """With NUM_FOLDS > 1 a checkpoint saved after one fold-epoch (covering
+    NUM_FOLDS data epochs) must resume at cur_epoch + NUM_FOLDS, not +1 —
+    otherwise the loop re-trains covered epochs and runs past MAX_EPOCH
+    (reference stores the last covered epoch, runs/train.py:414)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from dist_tpu.config import load_config
+    from dist_tpu.tasks.state import TrainState
+    from dist_tpu.utils import checkpoint as cu
+
+    cfg = load_config(os.path.join(
+        REPO, "configs/projects/dist/test/tiny_synth.yaml"),
+        opts=["TRAIN.NUM_FOLDS", "2", "OPTIMIZER.MAX_EPOCH", "10",
+              "OUTPUT_DIR", str(tmp_path), "TRAIN.AUTO_RESUME", "true"])
+    state = TrainState(step=jnp.asarray(7, jnp.int32),
+                       variables={"params": {"w": jnp.ones((2,))}},
+                       opt_state={"m": jnp.zeros((2,))}, ema_variables=None)
+    cu.save_checkpoint(cfg, state, cur_epoch=0)  # fold-epoch 0 covers 0..1
+    restored, start_epoch = cu.load_train_checkpoint(cfg, state)
+    assert start_epoch == 2, start_epoch
+    assert int(restored.step) == 7
+    # remaining epochs stay divisible by NUM_FOLDS (the train-loop assert)
+    assert (cfg.OPTIMIZER.MAX_EPOCH - start_epoch) % 2 == 0

@@ -72,9 +72,8 @@ def main():
     else:
         tokens = None
     if tokens is not None:
-        text_features = jax.device_get(jax.jit(
-            lambda v, t: model.encode_text(v, t))(
-            state.variables, jnp.asarray(tokens)))
+        from dist_tpu.tasks.state import compute_text_features
+        text_features = compute_text_features(model, state.variables, tokens)
 
     eval_step = jax.jit(make_eval_step(model, cfg))
     shard_frames = bool(cfg.get("TPU") and cfg.TPU.get("SHARD_FRAMES"))
