@@ -189,12 +189,8 @@ def data_axis_size(cfg):
     """Devices on the data axis (global batch = per-device batch x this).
     The reference's BATCH_SIZE is per-GPU (dataset/base/builder.py); here it
     is per-data-shard, so the loader scales it to the mesh."""
-    import jax
-
-    model = 1
-    if cfg.get("TPU") and cfg.TPU.get("MESH"):
-        model = int(cfg.TPU.MESH.get("MODEL", 1) or 1)
-    return max(jax.device_count() // model, 1)
+    from dist_tpu.parallel.mesh import config_data_axis_size
+    return config_data_axis_size(cfg)
 
 
 def build_loader(cfg, split):

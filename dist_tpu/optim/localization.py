@@ -60,10 +60,17 @@ def Loss_PemReg(cfg, preds, logits, labels, cur_epoch=0):
     num_h = u_h.sum()
     r_m = num_h / jnp.maximum(u_m.sum(), 1.0)
     r_l = num_h / jnp.maximum(u_l.sum(), 1.0)
-    key = jax.random.PRNGKey(cur_epoch if isinstance(cur_epoch, int) else 0)
+    # key from the (traced) step/epoch so each iteration draws FRESH
+    # sampling masks; PRNGKey(constant) would reuse one fixed mask all run
+    key = jax.random.PRNGKey(0)
+    key = jax.random.fold_in(key, jnp.asarray(cur_epoch * 1000, jnp.int32))
     k1, k2 = jax.random.split(key)
-    u_sm = (u_m * jax.random.uniform(k1, gt.shape) > (1.0 - r_m)).astype(jnp.float32)
-    u_sl = (u_l * jax.random.uniform(k2, gt.shape) > (1.0 - r_l)).astype(jnp.float32)
+    # sample only within the candidate sets: the reference's
+    # ``(rand * u) > 1-r`` lets EVERY cell (background included) pass when
+    # r > 1 (mid/low cells scarcer than high) — ``u * (rand > 1-r)`` keeps
+    # the balanced-sampling intent in that regime (reference defect)
+    u_sm = u_m * (jax.random.uniform(k1, gt.shape) > (1.0 - r_m)).astype(jnp.float32)
+    u_sl = u_l * (jax.random.uniform(k2, gt.shape) > (1.0 - r_l)).astype(jnp.float32)
     weights = u_h + u_sm + u_sl
 
     se = (pred * weights - gt * weights) ** 2

@@ -21,9 +21,12 @@ def lr_func_steps_with_relative_lrs(cfg, cur_epoch):
     steps = list(cfg.OPTIMIZER.get("STEPS", None) or cfg.OPTIMIZER.get("LR_MILESTONES", []))
     lrs = list(cfg.OPTIMIZER.LRS)
     bounds = steps + [float(cfg.OPTIMIZER.MAX_EPOCH)]
-    # index of the last bound <= cur_epoch (reference get_step_index)
+    # reference get_step_index: STEPS lists lead with 0 and the index is
+    # (first bound > epoch) - 1, i.e. the count of crossed bounds minus the
+    # leading zero (lr_policy.py:44-60); without the -1 a ported config
+    # trains one LR stage ahead from the first step
     ind = sum(jnp.asarray(cur_epoch) >= jnp.asarray(b) for b in bounds)
-    ind = jnp.clip(ind - 0, 0, len(lrs) - 1)
+    ind = jnp.clip(ind - 1, 0, len(lrs) - 1)
     return jnp.asarray(lrs)[ind] * float(cfg.OPTIMIZER.BASE_LR)
 
 

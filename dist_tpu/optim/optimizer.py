@@ -79,6 +79,12 @@ def param_labels(cfg, params):
             # BN running stats (backbone or head) update through the forward
             # pass, never the optimizer
             return FROZEN
+        if name.startswith("params/"):
+            # labels run over the FULL variables dict; module paths start
+            # after the collection segment (without the strip the
+            # freeze_visual/freeze_text startswith checks can never match
+            # and "frozen" towers keep decaying via add_decayed_weights)
+            name = name[len("params/"):]
         if fixed and any(seg in fixed for seg in name.split("/")):
             return FROZEN
         if wb_lock and _is_bn_param(name):
@@ -190,10 +196,15 @@ def _core_transform(cfg, weight_decay, lars_exclude=False):
 def base_lr(cfg):
     lr = float(cfg.OPTIMIZER.BASE_LR)
     if cfg.OPTIMIZER.get("ADJUST_LR", False):
-        # SimCLR linear scaling (optimizer.py:47-51); world batch = global
+        # SimCLR linear scaling by the GLOBAL batch (reference scales by
+        # NUM_GPUS*NUM_SHARDS, optimizer.py:47-51). NUM_GPUS is pinned to 1
+        # in this port — the real multiplier is the mesh data-axis size
+        # (TRAIN.BATCH_SIZE is per data shard, data/builder.py).
+        from dist_tpu.parallel.mesh import config_data_axis_size
         n_clips = (cfg.PRETRAIN.get("NUM_CLIPS_PER_VIDEO", 1)
                    if cfg.PRETRAIN.ENABLE else 1)
-        lr = lr * int(cfg.get("NUM_GPUS", 1)) * cfg.TRAIN.BATCH_SIZE * n_clips / 256.0
+        lr = (lr * config_data_axis_size(cfg) * cfg.TRAIN.BATCH_SIZE
+              * n_clips / 256.0)
     return lr
 
 

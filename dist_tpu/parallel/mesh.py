@@ -20,15 +20,37 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def _mesh_shape_cfg(cfg):
+    """(data, model) from TPU.MESH; data -1/None = all remaining."""
+    model, data = 1, -1
+    if cfg is not None and cfg.get("TPU") and cfg.TPU.get("MESH"):
+        model = int(cfg.TPU.MESH.get("MODEL", 1) or 1)
+        data = int(cfg.TPU.MESH.get("DATA", -1) or -1)
+    return data, model
+
+
+def config_data_axis_size(cfg, n_devices=None):
+    """Size of the data mesh axis implied by the config (the global-batch
+    multiplier: global batch = TRAIN.BATCH_SIZE x this)."""
+    n = n_devices if n_devices is not None else jax.device_count()
+    data, model = _mesh_shape_cfg(cfg)
+    return data if data > 0 else max(n // model, 1)
+
+
 def build_mesh(cfg=None, devices=None) -> Mesh:
     """Mesh from config: TPU.MESH.DATA (-1 = all remaining) x TPU.MESH.MODEL."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
-    model = 1
-    if cfg is not None and cfg.get("TPU") and cfg.TPU.get("MESH"):
-        model = int(cfg.TPU.MESH.get("MODEL", 1) or 1)
+    data, model = _mesh_shape_cfg(cfg)
     assert n % model == 0, f"{n} devices not divisible by model={model}"
-    data = n // model
+    if data > 0:
+        # an explicit data size must tile the device count exactly — a
+        # mismatched {data, model} pair is a config error, not a hint
+        assert data * model == n, (
+            f"TPU.MESH data={data} x model={model} != {n} devices; set "
+            "DATA to -1 to use all remaining devices")
+    else:
+        data = n // model
     dev_array = np.asarray(devices).reshape(data, model)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
@@ -143,7 +165,3 @@ def local_batch_size(cfg, mesh=None):
     """Per-device batch size from the per-GPU-style config batch
     (TRAIN.BATCH_SIZE is per-device in the reference, dataset/base/builder.py)."""
     return int(cfg.TRAIN.BATCH_SIZE)
-
-
-def is_master():
-    return jax.process_index() == 0

@@ -166,10 +166,18 @@ def make_train_step(model, cfg, tx, lr_fn, mesh=None):
                   "text_features": batch.get("text_features")}
 
         def loss_fn(variables):
+            rng_d, rng_m = jax.random.split(rng)
             preds, logits, new_stats = model.apply(
-                variables, inputs, train=True, rngs={"dropout": rng},
+                variables, inputs, train=True,
+                # "mask": the VideoMAE encoder's tube-masking stream
+                # (backbones/vit_video.py make_rng("mask")); unused streams
+                # are ignored by flax
+                rngs={"dropout": rng_d, "mask": rng_m},
                 return_new_state=True)
-            loss, parts = calculate_loss(cfg, preds, logits, labels)
+            # step-dependent cur_epoch: the localization losses fold it
+            # into their sampling PRNG (fresh masks every iteration)
+            loss, parts = calculate_loss(cfg, preds, logits, labels,
+                                         cur_epoch=state.step)
             return loss, (preds, parts, new_stats)
 
         (loss, (preds, parts, new_stats)), grads = jax.value_and_grad(

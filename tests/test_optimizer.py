@@ -204,3 +204,56 @@ def test_lars_bn_exclude_runs():
     updates, _ = tx.update(grads, state, params)
     assert float(jnp.abs(updates["backbone"]["bn"]["scale"]).max()) > 0.0
     assert float(jnp.abs(updates["head"]["linear"]["kernel"]).max()) > 0.0
+
+
+def test_freeze_flags_respect_collection_prefix():
+    """param_labels runs over the FULL variables dict ({"params": ...}), so
+    FREEZE_VISUAL/FREEZE_TEXT/logit_scale checks must see the module path
+    AFTER the collection segment — otherwise 'frozen' towers keep weight-
+    decaying every step (gradients are zero but add_decayed_weights isn't)."""
+    cfg = load_config(HICO_FT_CFG, make_output_dir=False)
+    cfg.VIDEO.BACKBONE.FREEZE_TEXT = True
+    cfg.VIDEO.BACKBONE.FREEZE_VISUAL = True
+    variables = {"params": {
+        "visual": {"conv1": {"kernel": jnp.ones((3, 3, 3, 8))}},
+        "text": {"token_embedding": jnp.ones((10, 8))},
+        "logit_scale": jnp.ones(()),
+        "head": {"linear": {"kernel": jnp.ones((8, 4))}},
+    }}
+    labels = param_labels(cfg, variables)
+    assert labels["params"]["visual"]["conv1"]["kernel"] == FROZEN
+    assert labels["params"]["text"]["token_embedding"] == FROZEN
+    assert labels["params"]["logit_scale"] == FROZEN
+    assert labels["params"]["head"]["linear"]["kernel"] != FROZEN
+
+
+def test_steps_lr_policy_matches_reference_indexing():
+    """STEPS lists lead with 0 in the reference convention; the stage index
+    is the count of crossed bounds MINUS that leading zero
+    (reference lr_policy.py:44-60)."""
+    from dist_tpu.optim.lr_policy import lr_func_steps_with_relative_lrs
+
+    cfg = load_config(HICO_FT_CFG, make_output_dir=False,
+                      opts=["OPTIMIZER.BASE_LR", "1.0",
+                            "OPTIMIZER.MAX_EPOCH", "200"])
+    cfg.OPTIMIZER.STEPS = [0, 94, 154, 196]
+    cfg.OPTIMIZER.LRS = [1.0, 0.1, 0.01, 0.001]
+    for epoch, expect in ((0.0, 1.0), (50.0, 1.0), (94.0, 0.1),
+                          (100.0, 0.1), (154.0, 0.01), (196.5, 0.001)):
+        got = float(lr_func_steps_with_relative_lrs(cfg, epoch))
+        assert got == pytest.approx(expect), (epoch, got)
+
+
+def test_adjust_lr_scales_by_data_axis(monkeypatch):
+    """SimCLR ADJUST_LR multiplies by the GLOBAL batch: per-shard batch x
+    the mesh data-axis size (the reference's NUM_GPUS*NUM_SHARDS factor)."""
+    import jax
+    from dist_tpu.optim.optimizer import base_lr
+
+    cfg = load_config(HICO_FT_CFG, make_output_dir=False,
+                      opts=["OPTIMIZER.BASE_LR", "0.3",
+                            "TRAIN.BATCH_SIZE", "4"])
+    cfg.OPTIMIZER.ADJUST_LR = True
+    cfg.PRETRAIN.ENABLE = False
+    expect = 0.3 * jax.device_count() * 4 / 256.0
+    assert base_lr(cfg) == pytest.approx(expect)
