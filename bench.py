@@ -32,13 +32,8 @@ CFG = os.environ.get("BENCH_CFG",
 def main():
     import jax
 
-    try:  # persistent compile cache (a no-op if the backend ignores it)
-        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                   "/tmp/dist_tpu_jax_cache")
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
+    from dist_tpu.utils.misc import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from dist_tpu.config import load_config

@@ -112,7 +112,11 @@ def _deep_merge(base, new, preserve_base=False):
             else:
                 base[k] = v
         else:
-            if "BASE" not in k or preserve_base:
+            # skip only the exact reserved inheritance keys. The reference
+            # drops ANY new key containing "BASE" (utils/config.py:173), so
+            # e.g. a child's OPTIMIZER.BASE_LR silently vanishes when its
+            # parent doesn't already define it — fixed here.
+            if k not in _BASE_KEYS or preserve_base:
                 base[k] = v
     return base
 

@@ -10,6 +10,7 @@ built; ``ensure_built()`` compiles it on first use with the repo Makefile.
 """
 
 import ctypes
+import functools
 import os
 import subprocess
 import threading
@@ -39,6 +40,10 @@ def ensure_built():
     with _lock:
         if os.path.exists(_LIB_PATH):
             return True
+        if _build_failed:
+            # another thread already ran (and failed) the build while we
+            # waited on the lock — don't repeat the doomed make per thread
+            return False
         try:
             subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                            capture_output=True, text=True, timeout=120)
@@ -85,8 +90,12 @@ def available():
     return get_lib() is not None
 
 
+@functools.lru_cache(maxsize=65536)
 def probe(path):
-    """(num_frames, fps) via libavformat."""
+    """(num_frames, fps, w, h) via libavformat. Cached per path: dataset
+    videos are immutable and both the sampler (probe_video) and a
+    native-resolution decode() would otherwise open the container twice
+    per sample."""
     lib = get_lib()
     n = ctypes.c_int64()
     fps = ctypes.c_double()

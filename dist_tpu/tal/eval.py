@@ -41,11 +41,20 @@ def _ap_for_class(gt_by_video, preds, tiou):
         starts = np.asarray([s[0] for s in segs])
         ends = np.asarray([s[1] for s in segs])
         ious = iou_with_anchors(starts, ends, ts, te)
-        j = int(np.argmax(ious))
-        if ious[j] >= tiou and not matched[vid][j]:
-            tp[i] = 1
-            matched[vid][j] = True
-        else:
+        # ActivityNet protocol: walk candidates by descending IoU and take
+        # the best UNMATCHED ground truth above the threshold (matching
+        # only the argmax would count a prediction FP when its argmax GT
+        # is taken but another overlapping GT still qualifies)
+        hit = False
+        for j in np.argsort(ious)[::-1]:
+            if ious[j] < tiou:
+                break
+            if not matched[vid][j]:
+                tp[i] = 1
+                matched[vid][j] = True
+                hit = True
+                break
+        if not hit:
             fp[i] = 1
     tp_cum = np.cumsum(tp)
     fp_cum = np.cumsum(fp)

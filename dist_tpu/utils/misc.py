@@ -11,6 +11,20 @@ from dist_tpu.utils import logging
 logger = logging.get_logger(__name__)
 
 
+def enable_compile_cache():
+    """Point JAX at the persistent compile cache (shared by the CLI entry
+    and bench.py so repeated runs skip the minutes-long TPU recompiles)."""
+    import os
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           "/tmp/dist_tpu_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:  # backend may not support the cache — run uncached
+        pass
+
+
 def check_nan_losses(loss):
     """Abort on NaN loss (utils/misc.py:25-32)."""
     if math.isnan(float(loss)):

@@ -75,6 +75,7 @@ int probe_file(const char* path, ProbeResult* res) {
 
 // Decode the requested frames of one file into req->out.
 int decode_one(const DecodeRequest& req) {
+  if (req.num_indices <= 0) return 0;  // empty request: nothing to write
   AVFormatContext* fmt = nullptr;
   if (avformat_open_input(&fmt, req.path, nullptr, nullptr) < 0) return -1;
   if (avformat_find_stream_info(fmt, nullptr) < 0) {
@@ -133,8 +134,12 @@ int decode_one(const DecodeRequest& req) {
   double fps = av_q2d(st->avg_frame_rate.num ? st->avg_frame_rate
                                              : st->r_frame_rate);
   if (fps <= 0) fps = 30.0;
+  // pts of frame 0: streams can start at a nonzero offset (edit lists,
+  // transport streams); without it the post-seek index math shifts clips
+  int64_t start_pts =
+      st->start_time == AV_NOPTS_VALUE ? 0 : st->start_time;
   if (first > 64) {
-    int64_t ts = av_rescale_q(
+    int64_t ts = start_pts + av_rescale_q(
         static_cast<int64_t>(first / fps * AV_TIME_BASE),
         AVRational{1, AV_TIME_BASE}, st->time_base);
     if (av_seek_frame(fmt, vstream, ts, AVSEEK_FLAG_BACKWARD) >= 0) {
@@ -146,9 +151,37 @@ int decode_one(const DecodeRequest& req) {
   size_t next_wanted = 0;
   int err = 0;
   int wrote = 0;
+  auto consume_frame = [&]() {
+    if (cur < 0) {
+      // derive the frame index from pts after a seek
+      int64_t pts = frame->best_effort_timestamp;
+      cur = pts == AV_NOPTS_VALUE
+                ? first
+                : llround((pts - start_pts) * av_q2d(st->time_base) * fps);
+    }
+    while (next_wanted < wanted.size() && wanted[next_wanted].first <= cur) {
+      if (!sws) {
+        sws = sws_getContext(frame->width, frame->height,
+                             static_cast<AVPixelFormat>(frame->format),
+                             out_w, out_h, AV_PIX_FMT_RGB24,
+                             SWS_BILINEAR, nullptr, nullptr, nullptr);
+      }
+      sws_scale(sws, frame->data, frame->linesize, 0, frame->height,
+                tmp_data, tmp_linesize);
+      uint8_t* dst = req.out + frame_bytes * wanted[next_wanted].second;
+      for (int row = 0; row < out_h; ++row) {
+        std::memcpy(dst + static_cast<size_t>(row) * out_w * 3,
+                    tmp_data[0] + static_cast<size_t>(row) * tmp_linesize[0],
+                    static_cast<size_t>(out_w) * 3);
+      }
+      ++wrote;
+      ++next_wanted;
+    }
+    ++cur;
+  };
   while (next_wanted < wanted.size()) {
     int r = av_read_frame(fmt, pkt);
-    if (r < 0) break;  // EOF: pad later
+    if (r < 0) break;  // EOF: drain the codec below, then pad
     if (pkt->stream_index != vstream) {
       av_packet_unref(pkt);
       continue;
@@ -159,35 +192,20 @@ int decode_one(const DecodeRequest& req) {
     }
     av_packet_unref(pkt);
     while (avcodec_receive_frame(ctx, frame) == 0) {
-      if (cur < 0) {
-        // derive the frame index from pts after a seek
-        int64_t pts = frame->best_effort_timestamp;
-        cur = pts == AV_NOPTS_VALUE
-                  ? first
-                  : llround(pts * av_q2d(st->time_base) * fps);
-      }
-      while (next_wanted < wanted.size() && wanted[next_wanted].first <= cur) {
-        if (!sws) {
-          sws = sws_getContext(frame->width, frame->height,
-                               static_cast<AVPixelFormat>(frame->format),
-                               out_w, out_h, AV_PIX_FMT_RGB24,
-                               SWS_BILINEAR, nullptr, nullptr, nullptr);
-        }
-        sws_scale(sws, frame->data, frame->linesize, 0, frame->height,
-                  tmp_data, tmp_linesize);
-        uint8_t* dst = req.out + frame_bytes * wanted[next_wanted].second;
-        for (int row = 0; row < out_h; ++row) {
-          std::memcpy(dst + static_cast<size_t>(row) * out_w * 3,
-                      tmp_data[0] + static_cast<size_t>(row) * tmp_linesize[0],
-                      static_cast<size_t>(out_w) * 3);
-        }
-        ++wrote;
-        ++next_wanted;
-      }
-      ++cur;
+      consume_frame();
       if (cur > max_idx) break;
     }
     if (cur > max_idx && next_wanted >= wanted.size()) break;
+  }
+  if (next_wanted < wanted.size()) {
+    // drain: B-frame codecs buffer several frames; without the nullptr
+    // flush the last frames of the file are never received and trailing
+    // wanted indices get silently padded with an earlier frame
+    avcodec_send_packet(ctx, nullptr);
+    while (avcodec_receive_frame(ctx, frame) == 0) {
+      consume_frame();
+      if (next_wanted >= wanted.size()) break;
+    }
   }
 
   // pad any frames past EOF with the last decoded frame

@@ -74,16 +74,8 @@ def _prepare_data(cfg):
 
 
 def main():
-    try:  # persistent XLA compile cache across runs (multi-view test reruns
-        # and repeated experiments skip the minutes-long recompiles)
-        import jax
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                           "/tmp/dist_tpu_jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
+    from dist_tpu.utils.misc import enable_compile_cache
+    enable_compile_cache()
     cfg = load_from_args()
     run_list = _prepare_data(cfg)
     os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)

@@ -68,3 +68,21 @@ def test_merge_opts_depth4():
     d = {"A": {"B": {"C": {"D": 1}}}}
     merge_opts(d, ["A.B.C.D", "5"])
     assert d["A"]["B"]["C"]["D"] == 5
+
+
+def test_merge_keeps_new_keys_containing_base(tmp_path):
+    """A child's new key containing 'BASE' must survive the merge (the
+    reference's substring check at utils/config.py:173 silently DROPS e.g.
+    OPTIMIZER.BASE_LR when its parent doesn't define it — fixed here: only
+    the exact _BASE/_BASE_RUN/_BASE_MODEL keys are reserved)."""
+    parent = tmp_path / "parent.yaml"
+    parent.write_text("OPTIMIZER:\n  LR_POLICY: cosine\n")
+    child = tmp_path / "child.yaml"
+    child.write_text(
+        "_BASE: parent.yaml\nOPTIMIZER:\n  BASE_LR: 0.0001\n"
+        "MY_BASE_PATH: /data\n")
+    from dist_tpu.config.config import _load_yaml_tree
+    tree = _load_yaml_tree(str(child))
+    assert tree["OPTIMIZER"]["BASE_LR"] == 0.0001
+    assert tree["OPTIMIZER"]["LR_POLICY"] == "cosine"
+    assert tree["MY_BASE_PATH"] == "/data"

@@ -64,3 +64,20 @@ def test_batch_decode(video_file):
 def test_fused_resize(video_file):
     out = nd.decode(video_file, [0, 30], out_h=24, out_w=32)
     assert out.shape == (2, 24, 32, 3)
+
+
+@needs_native
+def test_decode_empty_indices(video_file):
+    out = nd.decode(video_file, [])
+    assert out.shape[0] == 0
+
+
+@needs_native
+def test_decode_only_final_frames(video_file):
+    """Trailing wanted indices need the codec drain (EOF flush): without
+    avcodec_send_packet(NULL) the frames buffered by the codec delay are
+    lost and these slots get padded with stale frames."""
+    native = nd.decode(video_file, [58, 59])
+    ref = read_video_cv2(video_file, [58, 59])
+    np.testing.assert_array_equal(native, ref)
+    assert not np.array_equal(native[0], native[1])

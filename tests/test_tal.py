@@ -82,3 +82,23 @@ def test_parse_bmn_proposals():
     assert match
     best = np.argmax(props["score"])
     np.testing.assert_allclose(props["score"][best], 0.9 * 0.8 * 0.25, atol=1e-9)
+
+
+def test_detection_matching_falls_through_to_unmatched_gt():
+    """ActivityNet protocol: a prediction whose argmax-IoU GT is already
+    matched still counts TP on the next overlapping unmatched GT above the
+    threshold."""
+    from dist_tpu.tal.eval import evaluate_detection
+
+    gt = {"v": [
+        {"t_start": 0.0, "t_end": 10.0, "label": 0},
+        {"t_start": 2.0, "t_end": 12.0, "label": 0},
+    ]}
+    # both predictions overlap GT A most; the second must match GT B
+    pred = {"v": [
+        {"t_start": 0.0, "t_end": 10.0, "label": 0, "score": 0.9},
+        {"t_start": 1.0, "t_end": 10.5, "label": 0, "score": 0.8},
+    ]}
+    out = evaluate_detection(gt, pred, tiou_thresholds=[0.5])
+    # with fall-through both predictions are TPs -> AP = 1.0
+    assert abs(out["mAP"] - 1.0) < 1e-6
