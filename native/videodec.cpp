@@ -151,6 +151,9 @@ int decode_one(const DecodeRequest& req) {
   size_t next_wanted = 0;
   int err = 0;
   int wrote = 0;
+  // keep a ref to the most recent decoded frame: indices past EOF pad with
+  // the TRUE last frame (decord clamp semantics), not the last wanted slot
+  AVFrame* last_frame = av_frame_alloc();
   auto consume_frame = [&]() {
     if (cur < 0) {
       // derive the frame index from pts after a seek
@@ -159,6 +162,8 @@ int decode_one(const DecodeRequest& req) {
                 ? first
                 : llround((pts - start_pts) * av_q2d(st->time_base) * fps);
     }
+    av_frame_unref(last_frame);
+    av_frame_ref(last_frame, frame);
     while (next_wanted < wanted.size() && wanted[next_wanted].first <= cur) {
       if (!sws) {
         sws = sws_getContext(frame->width, frame->height,
@@ -209,20 +214,31 @@ int decode_one(const DecodeRequest& req) {
   }
 
   // pad any frames past EOF with the last decoded frame
-  if (wrote > 0) {
+  if (next_wanted < wanted.size() && last_frame->width > 0) {
+    if (!sws) {
+      sws = sws_getContext(last_frame->width, last_frame->height,
+                           static_cast<AVPixelFormat>(last_frame->format),
+                           out_w, out_h, AV_PIX_FMT_RGB24,
+                           SWS_BILINEAR, nullptr, nullptr, nullptr);
+    }
+    sws_scale(sws, last_frame->data, last_frame->linesize, 0,
+              last_frame->height, tmp_data, tmp_linesize);
     while (next_wanted < wanted.size()) {
       uint8_t* dst = req.out + frame_bytes * wanted[next_wanted].second;
-      // copy from the highest already-written slot
-      uint8_t* src = req.out + frame_bytes * wanted[next_wanted - 1].second;
-      std::memcpy(dst, src, frame_bytes);
+      for (int row = 0; row < out_h; ++row) {
+        std::memcpy(dst + static_cast<size_t>(row) * out_w * 3,
+                    tmp_data[0] + static_cast<size_t>(row) * tmp_linesize[0],
+                    static_cast<size_t>(out_w) * 3);
+      }
+      ++wrote;
       ++next_wanted;
     }
-  } else {
-    err = -6;
   }
+  if (wrote == 0) err = -6;
 
   if (sws) sws_freeContext(sws);
   av_freep(&tmp_data[0]);
+  av_frame_free(&last_frame);
   av_frame_free(&frame);
   av_packet_free(&pkt);
   avcodec_free_context(&ctx);

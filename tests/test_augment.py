@@ -23,8 +23,13 @@ def test_randaugment_factory_parse():
 def test_randaugment_applies():
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
-    out = RandAugment(magnitude=9, num_ops=2)(frames, rng)
+    out = None
+    for _ in range(8):  # each op fires with prob 0.5; 8 tries can't all no-op
+        out = RandAugment(magnitude=9, num_ops=2)(frames, rng)
+        if not np.array_equal(out, frames):
+            break
     assert out.shape == frames.shape and out.dtype == np.uint8
+    assert not np.array_equal(out, frames)
 
 
 def test_random_erasing_erases():

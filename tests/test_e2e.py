@@ -22,17 +22,25 @@ def tiny_cfg(tmp_path_factory):
     return cfg
 
 
-def test_train_and_eval(tiny_cfg):
+@pytest.fixture(scope="module")
+def trained(tiny_cfg):
+    """Run the tiny training ONCE per module; every test needing the
+    checkpoint depends on this fixture so any single test is runnable in
+    isolation (no inter-test ordering)."""
     from dist_tpu.tasks.train import train
 
     cfg = tiny_cfg.deep_copy()
     state = train(cfg)
-    assert int(state.step) == 2  # 8 samples / batch 4 = 2 steps
-    ckpts = os.listdir(os.path.join(cfg.OUTPUT_DIR, "checkpoints"))
+    return state
+
+
+def test_train_and_eval(tiny_cfg, trained):
+    assert int(trained.step) == 2  # 8 samples / batch 4 = 2 steps
+    ckpts = os.listdir(os.path.join(tiny_cfg.OUTPUT_DIR, "checkpoints"))
     assert any(c.startswith("checkpoint_epoch_") for c in ckpts)
 
 
-def test_multiview_test(tiny_cfg):
+def test_multiview_test(tiny_cfg, trained):
     from dist_tpu.tasks.test import test as test_task
 
     cfg = tiny_cfg.deep_copy()
@@ -43,7 +51,7 @@ def test_multiview_test(tiny_cfg):
     assert 0.0 <= float(stats["top1_acc"]) <= 100.0
 
 
-def test_deterministic_eval(tiny_cfg):
+def test_deterministic_eval(tiny_cfg, trained):
     """Same checkpoint + config -> identical metrics (keyed PRNG, no
     hidden state; SURVEY section 5.2)."""
     from dist_tpu.tasks.test import test as test_task
@@ -56,7 +64,7 @@ def test_deterministic_eval(tiny_cfg):
     assert s1["top5_acc"] == s2["top5_acc"]
 
 
-def test_auto_resume(tiny_cfg):
+def test_auto_resume(tiny_cfg, trained):
     """Train 1 epoch -> auto-resume continues at the saved epoch
     (reference load_train_checkpoint, checkpoint.py:532-577)."""
     from dist_tpu.models.base.models import build_model
@@ -68,7 +76,7 @@ def test_auto_resume(tiny_cfg):
 
     cfg = tiny_cfg.deep_copy()
     cfg.TRAIN.AUTO_RESUME = True
-    # a checkpoint exists from test_train_and_eval (epoch 1)
+    # the `trained` fixture wrote the epoch-1 checkpoint
     model = build_model(cfg)
     video = jnp.zeros((2, 4, 64, 64, 3))
     variables = model.init(jax.random.PRNGKey(0), {"video": video})
@@ -79,7 +87,7 @@ def test_auto_resume(tiny_cfg):
     assert int(state.step) == 2  # restored optimizer step count
 
 
-def test_multiview_padded_batch_matches_divisible(tiny_cfg):
+def test_multiview_padded_batch_matches_divisible(tiny_cfg, trained):
     """24 clips at global batch 8 (divisible) vs global batch 16 (final
     batch padded by cycling indices): identical accuracy proves the meter
     dedups padded duplicate views (round-1 review finding)."""

@@ -76,9 +76,17 @@ def test_longvideo_gradual_epoch_rate(long_video_root):
                        "GRAUDAL_SAMPLING": {"ENABLE": True,
                                             "MAX_DIS": [0.5, 3.0]}})
     ds = Longvideo(cfg, "train")
-    ds.set_epoch_rate(0.0)
     rng = np.random.default_rng(0)
-    centers0, _ = ds._clip_centers(4.0, rng)
-    ds.set_epoch_rate(1.0)
-    centers1, _ = ds._clip_centers(4.0, rng)
-    assert len(centers0) == 2 and len(centers1) == 2
+
+    def spread(rate, draws=64):
+        ds.set_epoch_rate(rate)
+        return np.mean([np.ptp(ds._clip_centers(4.0, rng)[0])
+                        for _ in range(draws)])
+
+    s0, s1 = spread(0.0), spread(1.0)
+    ds.set_epoch_rate(0.0)
+    assert len(ds._clip_centers(4.0, rng)[0]) == 2
+    # MAX_DIS widens 0.5 -> 3.0 with the epoch rate: clips drawn at rate
+    # 1.0 must be substantially farther apart on average (a no-op
+    # set_epoch_rate would make the spreads equal)
+    assert s1 > s0 * 1.5, (s0, s1)

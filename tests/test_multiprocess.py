@@ -21,8 +21,7 @@ def _free_port():
     return port
 
 
-def test_two_process_collectives_and_loader_sharding():
-    port = _free_port()
+def _run_workers(port):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env["PYTHONPATH"] = REPO
@@ -42,6 +41,18 @@ def test_two_process_collectives_and_loader_sharding():
             p.kill()
             out, _ = p.communicate()
         outs.append(out)
+    return procs, outs
+
+
+def test_two_process_collectives_and_loader_sharding():
+    # the free-port probe is racy (closed before the coordinator binds);
+    # retry once with a fresh port on a bind-looking failure
+    for attempt in range(2):
+        procs, outs = _run_workers(_free_port())
+        ok = all(p.returncode == 0 for p in procs)
+        if ok or attempt == 1 or not any(
+                "bind" in o.lower() or "address" in o.lower() for o in outs):
+            break
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
         assert f"mp_worker {pid}: OK" in out

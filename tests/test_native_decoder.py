@@ -44,9 +44,19 @@ def test_decode_matches_opencv(video_file):
 @needs_native
 def test_decode_with_seek(video_file):
     """Indices far into the stream exercise the seek path."""
-    native = nd.decode(video_file, [70 % 60, 58, 59])
+    native = nd.decode(video_file, [10, 58, 59])
     ref = read_video_cv2(video_file, [10, 58, 59])
     np.testing.assert_array_equal(native, ref)
+
+
+@needs_native
+def test_decode_out_of_range_index_pads_with_last_frame(video_file):
+    """An index past EOF is padded with the last decoded frame (decord
+    semantics the sampler relies on for ragged tail clips)."""
+    native = nd.decode(video_file, [58, 70])
+    ref = read_video_cv2(video_file, [58, 59])
+    np.testing.assert_array_equal(native[0], ref[0])
+    np.testing.assert_array_equal(native[1], ref[1])
 
 
 @needs_native

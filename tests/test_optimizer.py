@@ -244,7 +244,7 @@ def test_steps_lr_policy_matches_reference_indexing():
         assert got == pytest.approx(expect), (epoch, got)
 
 
-def test_adjust_lr_scales_by_data_axis(monkeypatch):
+def test_adjust_lr_scales_by_data_axis():
     """SimCLR ADJUST_LR multiplies by the GLOBAL batch: per-shard batch x
     the mesh data-axis size (the reference's NUM_GPUS*NUM_SHARDS factor)."""
     import jax

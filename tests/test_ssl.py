@@ -41,6 +41,19 @@ def _ssl_cfg():
     return cfg
 
 
+def _tiny_r2p1d(cfg):
+    """Shared tiny R2+1D backbone recipe for the SSL step tests."""
+    cfg.VIDEO.BACKBONE.META_ARCH = "ResNet3D"
+    cfg.VIDEO.BACKBONE.DEPTH = 10
+    cfg.VIDEO.BACKBONE.NUM_FILTERS = [16, 16, 32, 32, 32]
+    cfg.VIDEO.BACKBONE.NUM_OUT_FEATURES = 32
+    cfg.VIDEO.BACKBONE.KERNEL_SIZE = [[3, 7, 7]] + [[3, 3, 3]] * 4
+    cfg.VIDEO.BACKBONE.DOWNSAMPLING = [True, False, True, True, True]
+    cfg.VIDEO.BACKBONE.DOWNSAMPLING_TEMPORAL = [False, False, True, True, True]
+    cfg.VIDEO.BACKBONE.BRANCH.NAME = "R2Plus1DBranch"
+    cfg.VIDEO.BACKBONE.STEM.NAME = "R2Plus1DStem"
+
+
 def test_instance_discrimination_matches_torch():
     """NT-Xent parity against a direct torch computation of the reference
     formula (contrastive_losses.py:38-65)."""
@@ -77,15 +90,7 @@ def test_hico_pretrain_step():
     from dist_tpu.tasks.state import create_train_state, make_train_step
 
     cfg = _ssl_cfg()
-    cfg.VIDEO.BACKBONE.META_ARCH = "ResNet3D"
-    cfg.VIDEO.BACKBONE.DEPTH = 10
-    cfg.VIDEO.BACKBONE.NUM_FILTERS = [16, 16, 32, 32, 32]
-    cfg.VIDEO.BACKBONE.NUM_OUT_FEATURES = 32
-    cfg.VIDEO.BACKBONE.KERNEL_SIZE = [[3, 7, 7]] + [[3, 3, 3]] * 4
-    cfg.VIDEO.BACKBONE.DOWNSAMPLING = [True, False, True, True, True]
-    cfg.VIDEO.BACKBONE.DOWNSAMPLING_TEMPORAL = [False, False, True, True, True]
-    cfg.VIDEO.BACKBONE.BRANCH.NAME = "R2Plus1DBranch"
-    cfg.VIDEO.BACKBONE.STEM.NAME = "R2Plus1DStem"
+    _tiny_r2p1d(cfg)
     cfg.VIDEO.HEAD.NAME = "ContrastiveHeadTopicPred"
     cfg.VIDEO.HEAD.NUM_CLASSES = 0
     cfg.DATA.NUM_INPUT_FRAMES = 4
@@ -169,15 +174,7 @@ def test_hico_plus_plus_head_and_loss_step():
     cfg = _ssl_cfg()
     cfg.PRETRAIN.LOSS = "HiCoPlusPlus"
     cfg.PRETRAIN.NUM_CLIPS_PER_VIDEO = 4
-    cfg.VIDEO.BACKBONE.META_ARCH = "ResNet3D"
-    cfg.VIDEO.BACKBONE.DEPTH = 10
-    cfg.VIDEO.BACKBONE.NUM_FILTERS = [16, 16, 32, 32, 32]
-    cfg.VIDEO.BACKBONE.NUM_OUT_FEATURES = 32
-    cfg.VIDEO.BACKBONE.KERNEL_SIZE = [[3, 7, 7]] + [[3, 3, 3]] * 4
-    cfg.VIDEO.BACKBONE.DOWNSAMPLING = [True, False, True, True, True]
-    cfg.VIDEO.BACKBONE.DOWNSAMPLING_TEMPORAL = [False, False, True, True, True]
-    cfg.VIDEO.BACKBONE.BRANCH.NAME = "R2Plus1DBranch"
-    cfg.VIDEO.BACKBONE.STEM.NAME = "R2Plus1DStem"
+    _tiny_r2p1d(cfg)
     cfg.VIDEO.HEAD.NAME = "ContrastiveHeadTopicPredPlusPlus"
     cfg.VIDEO.HEAD.NUM_CLASSES = 0
     cfg.DATA.NUM_INPUT_FRAMES = 4
@@ -211,8 +208,8 @@ def test_all_project_configs_load_and_linear_probe_labels():
     import glob
     from dist_tpu.optim.optimizer import FROZEN, param_labels
 
-    repo_cfgs = glob.glob(os.path.join(REPO, "configs/projects/**/*.yaml"),
-                          recursive=True)
+    repo_cfgs = sorted(glob.glob(
+        os.path.join(REPO, "configs/projects/**/*.yaml"), recursive=True))
     assert len(repo_cfgs) >= 60
     linear = []
     for path in repo_cfgs:
@@ -220,12 +217,12 @@ def test_all_project_configs_load_and_linear_probe_labels():
         if cfg.TRAIN.get("ONLY_LINEAR"):
             linear.append(cfg)
     assert linear, "no ONLY_LINEAR recipe found"
-    cfg = linear[0]
     params = {"backbone": {"conv": {"kernel": np.zeros((3, 3, 4, 8))}},
               "head": {"linear": {"kernel": np.zeros((8, 5))}}}
-    labels = param_labels(cfg, params)
-    assert labels["backbone"]["conv"]["kernel"] == FROZEN
-    assert labels["head"]["linear"]["kernel"] != FROZEN
+    for cfg in linear:  # every linear-probe recipe freezes the backbone
+        labels = param_labels(cfg, params)
+        assert labels["backbone"]["conv"]["kernel"] == FROZEN
+        assert labels["head"]["linear"]["kernel"] != FROZEN
 
 
 def test_bn_freeze_with_batchnorm_head_trains():
@@ -238,15 +235,7 @@ def test_bn_freeze_with_batchnorm_head_trains():
     cfg = _ssl_cfg()
     cfg.PRETRAIN.CONTRASTIVE.HEAD_BN = True
     cfg.BN.FREEZE = True
-    cfg.VIDEO.BACKBONE.META_ARCH = "ResNet3D"
-    cfg.VIDEO.BACKBONE.DEPTH = 10
-    cfg.VIDEO.BACKBONE.NUM_FILTERS = [16, 16, 32, 32, 32]
-    cfg.VIDEO.BACKBONE.NUM_OUT_FEATURES = 32
-    cfg.VIDEO.BACKBONE.KERNEL_SIZE = [[3, 7, 7]] + [[3, 3, 3]] * 4
-    cfg.VIDEO.BACKBONE.DOWNSAMPLING = [True, False, True, True, True]
-    cfg.VIDEO.BACKBONE.DOWNSAMPLING_TEMPORAL = [False, False, True, True, True]
-    cfg.VIDEO.BACKBONE.BRANCH.NAME = "R2Plus1DBranch"
-    cfg.VIDEO.BACKBONE.STEM.NAME = "R2Plus1DStem"
+    _tiny_r2p1d(cfg)
     cfg.VIDEO.HEAD.NAME = "ContrastiveHeadTopicPred"
     cfg.VIDEO.HEAD.NUM_CLASSES = 0
     cfg.DATA.NUM_INPUT_FRAMES = 4
