@@ -129,22 +129,3 @@ def _bwd(num_heads, causal, res, g):
 
 
 fused_attention_qkv.defvjp(_fwd, _bwd)
-
-
-# ---- legacy (B, L, H, hd) interface kept for tests/other call sites ----
-
-
-def _reference_attention(q, k, v, causal=False):
-    b, l, h, hd = q.shape
-    qkv = jnp.concatenate([
-        q.reshape(b, l, h * hd), k.reshape(b, l, h * hd),
-        v.reshape(b, l, h * hd)], axis=-1)
-    return _reference_attention_qkv(qkv, h, causal).reshape(b, l, h, hd)
-
-
-def fused_attention(q, k, v, causal=False):
-    b, l, h, hd = q.shape
-    qkv = jnp.concatenate([
-        q.reshape(b, l, h * hd), k.reshape(b, l, h * hd),
-        v.reshape(b, l, h * hd)], axis=-1)
-    return fused_attention_qkv(qkv, h, causal).reshape(b, l, h, hd)
