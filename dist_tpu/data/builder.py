@@ -212,6 +212,11 @@ def build_loader(cfg, split):
         batch_size = int(cfg.TRAIN.BATCH_SIZE) * scale
         shuffle, drop_last, num_folds = False, False, 1
     else:
+        if cfg.get("TPU") and cfg.TPU.get("SHARD_FRAMES"):
+            # frame-axis sharding spreads ONE clip's frames over the mesh;
+            # the batch axis must NOT also be scaled to the device count
+            # (the whole point is batch < devices serving)
+            scale = 1
         batch_size = int(cfg.TEST.BATCH_SIZE) * scale
         shuffle, drop_last, num_folds = False, False, 1
     collate_fn = None

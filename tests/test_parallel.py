@@ -137,3 +137,30 @@ def test_shard_frames_eval_matches_replicated():
         out_rep = np.asarray(step(state, b_rep)["preds"])
         out_fr = np.asarray(step(state, b_fr)["preds"])
     np.testing.assert_allclose(out_fr, out_rep, atol=2e-5, rtol=1e-4)
+
+
+def test_shard_frames_full_test_task():
+    """The whole test() task under TPU.SHARD_FRAMES: loader batch stays at
+    TEST.BATCH_SIZE (not scaled to the device count) and the multi-view
+    metrics come out identical to the plain data-parallel run."""
+    import os
+    from dist_tpu.config import load_config
+    from dist_tpu.tasks.test import test as test_task
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = "/tmp/shard_frames_task_test"
+    base_opts = ["TEST.BATCH_SIZE", "1", "TEST.NUM_SAMPLES_LIMIT", "8",
+                 "DATA.NUM_INPUT_FRAMES", "8",
+                 "TRAIN.MIXED_PRECISION", "false",
+                 "TRAIN.ENABLE", "false", "OUTPUT_DIR", out]
+    cfg = load_config(
+        os.path.join(REPO, "configs/projects/dist/test/tiny_synth.yaml"),
+        opts=base_opts)
+    plain = test_task(cfg)
+
+    cfg2 = load_config(
+        os.path.join(REPO, "configs/projects/dist/test/tiny_synth.yaml"),
+        opts=base_opts + ["TPU.SHARD_FRAMES", "true"])
+    sharded = test_task(cfg2)
+    assert plain["top1_acc"] == sharded["top1_acc"]
+    assert plain["top5_acc"] == sharded["top5_acc"]
