@@ -122,3 +122,23 @@ def test_epic_meter_dedups_padded_views():
     for k in expected:
         assert np.array_equal(m.video_preds[k], expected[k])
     assert (m.clip_count == 2).all()
+
+
+def test_train_meter_eta_uses_per_iteration_time():
+    """iter_tic RESETS the timer (reference meters.py:563-567): seconds()
+    is the LAST iteration's time, so the ETA = per-iter x remaining, not
+    the LOG_PERIOD window sum x remaining (a ~10x inflation)."""
+    import time as _time
+    from dist_tpu.utils.meters import TrainMeter
+
+    cfg = load_config(os.path.join(
+        REPO, "configs/projects/dist/test/tiny_synth.yaml"),
+        opts=["LOG_PERIOD", "5", "TRAIN.NUM_FOLDS", "1",
+              "OPTIMIZER.MAX_EPOCH", "1"], make_output_dir=False)
+    meter = TrainMeter(100, cfg)
+    for _ in range(4):
+        meter.iter_tic()
+        _time.sleep(0.01)
+        meter.iter_toc()
+    per_iter = meter.iter_timer.seconds()
+    assert 0.005 < per_iter < 0.05, per_iter  # one iteration, not the sum
