@@ -198,12 +198,12 @@ def build_loader(cfg, split):
     import jax
 
     dataset = build_dataset(cfg, split)
-    assert data_axis_size(cfg) % jax.process_count() == 0 and \
-        data_axis_size(cfg) >= jax.process_count(), (
-        f"data mesh axis ({data_axis_size(cfg)}) must be a multiple of the "
-        f"process count ({jax.process_count()}): every host feeds the same "
-        "number of data shards — lower TPU.MESH.MODEL or use fewer hosts")
-    scale = data_axis_size(cfg) // jax.process_count()
+    d = data_axis_size(cfg)
+    assert d % jax.process_count() == 0, (
+        f"data mesh axis ({d}) must be a multiple of the process count "
+        f"({jax.process_count()}): every host feeds the same number of "
+        "data shards — lower TPU.MESH.MODEL or use fewer hosts")
+    scale = d // jax.process_count()
     if split == "train":
         batch_size = int(cfg.TRAIN.BATCH_SIZE) * scale
         shuffle, drop_last = True, True

@@ -44,10 +44,24 @@ def local_rows(x):
         return np.asarray(jax.device_get(x))
     seen = {}
     for s in x.addressable_shards:
+        # batch contract: ONLY axis 0 is sharded — a shard split on a
+        # trailing axis (e.g. XLA choosing P('data','model') for an eval
+        # output) would otherwise be silently truncated to one column block
+        assert all(sl.start in (None, 0) and sl.stop in (None, x.shape[i + 1])
+                   for i, sl in enumerate(s.index[1:])), (
+            f"local_rows expects leading-axis sharding only, got {s.index}")
         start = s.index[0].start or 0
         if start not in seen:
             seen[start] = np.asarray(s.data)
     return np.concatenate([seen[k] for k in sorted(seen)], axis=0)
+
+
+def local_rows_tree(preds):
+    """local_rows over an array or a dict of arrays (the eval step's
+    prediction contract)."""
+    if isinstance(preds, dict):
+        return {k: local_rows(v) for k, v in preds.items()}
+    return local_rows(preds)
 
 
 def all_gather_arrays(*arrays):

@@ -104,8 +104,7 @@ def shard_batch(mesh, batch, shard_frames=False):
         def place(x):
             if not (hasattr(x, "ndim") and x.ndim > 0):
                 return x
-            import numpy as _np
-            return jax.make_array_from_process_local_data(s, _np.asarray(x))
+            return jax.make_array_from_process_local_data(s, np.asarray(x))
         return jax.tree_util.tree_map(place, batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, s) if hasattr(x, "ndim") and x.ndim > 0

@@ -63,10 +63,8 @@ def submission_test(cfg):
             # carry ALL videos (identity under a single process). local_rows
             # fetches this host's shard of the data-sharded preds.
             from dist_tpu.parallel.collectives import (
-                all_gather_arrays, local_rows)
-            preds = metrics["preds"]
-            preds = ({k: local_rows(v) for k, v in preds.items()}
-                     if isinstance(preds, dict) else local_rows(preds))
+                all_gather_arrays, local_rows_tree)
+            preds = local_rows_tree(metrics["preds"])
             (ids,) = all_gather_arrays(batch["index"])
             if isinstance(preds, dict):
                 preds = dict(zip(preds, all_gather_arrays(

@@ -125,11 +125,10 @@ def _consume_test_batch(cfg, meter, metrics, batch, cur_iter):
     # all_gather_arrays is the identity under a single process).
     # local_rows: this host's shard of the data-sharded preds — the rows
     # matching batch["index"] (device_get would raise across hosts)
-    from dist_tpu.parallel.collectives import all_gather_arrays, local_rows
+    from dist_tpu.parallel.collectives import (
+        all_gather_arrays, local_rows_tree)
 
-    preds = metrics["preds"]
-    preds = ({k: local_rows(v) for k, v in preds.items()}
-             if isinstance(preds, dict) else local_rows(preds))
+    preds = local_rows_tree(metrics["preds"])
     (ids,) = all_gather_arrays(batch["index"])
     if isinstance(preds, dict):
         # EPIC dual-head: labels arrive as separate verb/noun columns
