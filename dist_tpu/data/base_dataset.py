@@ -14,6 +14,7 @@ base_dataset.py:61,271-282 so the TestMeter can regroup views by
 """
 
 import abc
+import functools
 import json
 import os
 
@@ -97,8 +98,10 @@ def read_video_cv2(path, frame_indices):
     return np.stack([wanted.get(int(j), last) for j in order])
 
 
+@functools.lru_cache(maxsize=65536)
 def probe_video_cv2(path):
-    """(num_frames, fps)."""
+    """(num_frames, fps). Cached per path (videos are immutable; matches
+    the native decoder's probe cache)."""
     import cv2
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():
