@@ -24,7 +24,7 @@ SyncBN conversion, models/base/builder.py:62-66).
 """
 
 import math
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

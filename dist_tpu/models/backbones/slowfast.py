@@ -22,11 +22,9 @@ from dist_tpu.models.base.models import (
     BACKBONE_REGISTRY,
     BRANCH_REGISTRY,
     HEAD_REGISTRY,
-    STEM_REGISTRY,
 )
 from dist_tpu.models.backbones.resnet3d import (
     _N_CONV_RESNET,
-    Base3DResStage,
     ConvBN,
 )
 

@@ -12,7 +12,7 @@ dist_tpu/parallel/mesh.py).
 """
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax

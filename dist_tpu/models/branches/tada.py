@@ -19,7 +19,6 @@ dynamic weights, no groups, no reshape through a degenerate batch of 1.
 from typing import Any, Tuple
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from dist_tpu.models.base.models import BRANCH_REGISTRY
 

@@ -21,9 +21,7 @@ All converted params are fp32 (fp16 checkpoints are upcast; the compute
 dtype is applied at use-time by the modules).
 """
 
-import io
 import re
-import zipfile
 from typing import Dict
 
 import numpy as np

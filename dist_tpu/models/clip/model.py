@@ -21,8 +21,6 @@ tower (the reference needed ``torch.no_grad`` + DDP
 """
 
 import dataclasses
-from typing import Optional, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

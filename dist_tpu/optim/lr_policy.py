@@ -6,7 +6,6 @@ reference (runs/train.py:97-98). Everything works with python floats or
 traced jnp scalars, so the schedule can live inside the jitted train step.
 """
 
-import math
 
 import jax.numpy as jnp
 

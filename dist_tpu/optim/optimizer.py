@@ -21,8 +21,6 @@ no optimizer state is allocated for them (the functional analog of torch's
 ``requires_grad=False`` filtering).
 """
 
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 import optax

@@ -8,8 +8,7 @@ reference's NaN check, ``.item()`` syncs, and DDP all-reduces become XLA
 collectives inside the step; metrics come back as a small dict.
 """
 
-import dataclasses
-from typing import Any, Callable, Optional
+from typing import Any
 
 import flax
 import jax

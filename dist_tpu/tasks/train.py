@@ -8,10 +8,7 @@ in host-sharded and get placed with the data-axis sharding. Epochs stride
 loader gets the epoch passed explicitly.
 """
 
-import time
-
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from dist_tpu.data.builder import build_loader, shuffle_dataset
@@ -19,7 +16,6 @@ from dist_tpu.models.base.models import build_model
 from dist_tpu.optim.optimizer import construct_optimizer
 from dist_tpu.parallel.mesh import build_mesh, shard_batch, shard_params
 from dist_tpu.tasks.state import (
-    TrainState,
     create_train_state,
     make_eval_step,
     make_train_step,

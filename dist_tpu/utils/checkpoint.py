@@ -17,7 +17,6 @@ Rebuild of the reference's ``utils/checkpoint.py``:
 import os
 import re
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
