@@ -1,0 +1,156 @@
+"""Numeric torch-golden parity for the S3DG and SlowFast building blocks
+(the TAdaConv identity already has one in test_conv_backbones): identical
+weights -> identical outputs, eval mode (BN running stats)."""
+
+import numpy as np
+import torch
+import torch.nn as tnn
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+
+def _conv3d_w(torch_w):
+    # (O,I,D,H,W) -> flax (D,H,W,I,O)
+    return jnp.asarray(np.transpose(torch_w, (2, 3, 4, 1, 0)))
+
+
+def _to_torch(x_ndhwc):
+    return torch.from_numpy(np.transpose(x_ndhwc, (0, 4, 1, 2, 3)))
+
+
+def _from_torch(y):
+    return np.transpose(y.detach().numpy(), (0, 2, 3, 4, 1))
+
+
+def _bn_params(c, rng):
+    return {
+        "scale": rng.normal(1, 0.1, c).astype(np.float32),
+        "bias": rng.normal(0, 0.1, c).astype(np.float32),
+        "mean": rng.normal(0, 0.5, c).astype(np.float32),
+        "var": rng.uniform(0.5, 2.0, c).astype(np.float32),
+    }
+
+
+def _torch_bn(c, p):
+    bn = tnn.BatchNorm3d(c, eps=1e-5, momentum=0.1)
+    bn.weight.data = torch.from_numpy(p["scale"])
+    bn.bias.data = torch.from_numpy(p["bias"])
+    bn.running_mean.data = torch.from_numpy(p["mean"])
+    bn.running_var.data = torch.from_numpy(p["var"])
+    bn.eval()
+    return bn
+
+
+def test_self_gating_matches_torch():
+    """S3D-G feature gate (reference s3dg_branch.py:92-102)."""
+    from dist_tpu.models.backbones.s3dg import SelfGating
+
+    rng = np.random.default_rng(0)
+    c = 8
+    x = rng.normal(size=(2, 3, 4, 4, c)).astype(np.float32)
+    w = rng.normal(size=(c, c)).astype(np.float32)  # flax kernel (in, out)
+    b = rng.normal(size=(c,)).astype(np.float32)
+
+    mod = SelfGating()
+    out = mod.apply({"params": {"fc": {"kernel": jnp.asarray(w),
+                                       "bias": jnp.asarray(b)}}},
+                    jnp.asarray(x))
+
+    # torch: spatiotemporal avg pool -> Linear -> sigmoid -> scale
+    xt = _to_torch(x)
+    avg = xt.mean(dim=(2, 3, 4))
+    gate = torch.sigmoid(F.linear(avg, torch.from_numpy(w.T),
+                                  torch.from_numpy(b)))
+    expect = _from_torch(xt * gate[:, :, None, None, None])
+    np.testing.assert_allclose(np.asarray(out), expect, atol=1e-5)
+
+
+def test_stconv3d_matches_torch():
+    """Separable (1,k,k)+(k,1,1) conv with BN+relu each
+    (reference s3dg_branch.py:104-150), eval mode."""
+    from dist_tpu.models.backbones.s3dg import STConv3d
+
+    rng = np.random.default_rng(1)
+    cin, cout, k = 6, 8, 3
+    x = rng.normal(size=(2, 5, 6, 6, cin)).astype(np.float32)
+    w_sp = rng.normal(size=(cout, cin, 1, k, k)).astype(np.float32) * 0.2
+    w_t = rng.normal(size=(cout, cout, k, 1, 1)).astype(np.float32) * 0.2
+    bn1, bn2 = _bn_params(cout, rng), _bn_params(cout, rng)
+
+    variables = {
+        "params": {
+            "conv": {"kernel": _conv3d_w(w_sp)},
+            "bn": {"scale": jnp.asarray(bn1["scale"]),
+                   "bias": jnp.asarray(bn1["bias"])},
+            "conv2": {"kernel": _conv3d_w(w_t)},
+            "bn2": {"scale": jnp.asarray(bn2["scale"]),
+                    "bias": jnp.asarray(bn2["bias"])},
+        },
+        "batch_stats": {
+            "bn": {"mean": jnp.asarray(bn1["mean"]),
+                   "var": jnp.asarray(bn1["var"])},
+            "bn2": {"mean": jnp.asarray(bn2["mean"]),
+                    "var": jnp.asarray(bn2["var"])},
+        },
+    }
+    out = STConv3d(features=cout, kernel=k).apply(
+        variables, jnp.asarray(x), train=False)
+
+    xt = _to_torch(x)
+    y = F.conv3d(xt, torch.from_numpy(w_sp), padding=(0, k // 2, k // 2))
+    y = torch.relu(_torch_bn(cout, bn1)(y))
+    y = F.conv3d(y, torch.from_numpy(w_t), padding=(k // 2, 0, 0))
+    y = torch.relu(_torch_bn(cout, bn2)(y))
+    np.testing.assert_allclose(np.asarray(out), _from_torch(y),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_fuse_fast_to_slow_matches_torch():
+    """SlowFast lateral connection: stride-alpha temporal conv on the fast
+    stream + BN + relu, concatenated into the slow channels
+    (reference slowfast.py:119-155)."""
+    import os
+    from dist_tpu.config import load_config
+    from dist_tpu.models.backbones.slowfast import FuseFastToSlow
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(
+        os.path.join(REPO, "configs/projects/dist/test/tiny_synth.yaml"),
+        make_output_dir=False)
+    from dist_tpu.config.config import Config
+    cfg.VIDEO.BACKBONE.SLOWFAST = Config({
+        "MODE": "slowfast", "KERNEL_SIZE": 5, "ALPHA": 4,
+        "CONV_CHANNEL_RATIO": 2, "FUSION_CONV_BIAS": False,
+        "FUSION_BN": True, "FUSION_RELU": True, "BETA_INV": 8})
+
+    rng = np.random.default_rng(2)
+    c_fast, alpha, k = 4, 4, 5
+    x_slow = rng.normal(size=(2, 2, 4, 4, 16)).astype(np.float32)
+    x_fast = rng.normal(size=(2, 8, 4, 4, c_fast)).astype(np.float32)
+    w = rng.normal(size=(c_fast * 2, c_fast, k, 1, 1)).astype(np.float32) * 0.2
+    bn = _bn_params(c_fast * 2, rng)
+
+    variables = {
+        "params": {
+            "conv_f2s": {"kernel": _conv3d_w(w)},
+            "bn": {"scale": jnp.asarray(bn["scale"]),
+                   "bias": jnp.asarray(bn["bias"])},
+        },
+        "batch_stats": {
+            "bn": {"mean": jnp.asarray(bn["mean"]),
+                   "var": jnp.asarray(bn["var"])},
+        },
+    }
+    slow_out, fast_out = FuseFastToSlow(cfg=cfg, dim_in=c_fast).apply(
+        variables, jnp.asarray(x_slow), jnp.asarray(x_fast), train=False)
+
+    ft = _to_torch(x_fast)
+    fuse = F.conv3d(ft, torch.from_numpy(w), stride=(alpha, 1, 1),
+                    padding=(k // 2, 0, 0))
+    fuse = torch.relu(_torch_bn(c_fast * 2, bn)(fuse))
+    expect = np.concatenate([x_slow, _from_torch(fuse)], axis=-1)
+    np.testing.assert_allclose(np.asarray(slow_out), expect,
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(fast_out), x_fast, atol=0)
