@@ -216,6 +216,7 @@ class NonLocal(nn.Module):
         v = g.reshape(b, -1, inner)
         att = jnp.einsum("bic,bjc->bij", q, k,
                          preferred_element_type=jnp.float32)
+        att = att * (inner ** -0.5)  # reference non_local.py:68
         att = jax.nn.softmax(att, axis=-1)
         out = jnp.einsum("bij,bjc->bic", att.astype(v.dtype), v)
         out = out.reshape(x.shape[:-1] + (inner,))

@@ -154,3 +154,49 @@ def test_fuse_fast_to_slow_matches_torch():
     np.testing.assert_allclose(np.asarray(slow_out), expect,
                                atol=2e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(fast_out), x_fast, atol=0)
+
+
+def test_nonlocal_matches_torch():
+    """Embedded-gaussian non-local block incl. the dim^-0.5 attention scale
+    (reference non_local.py:12-75), eval mode with zero-init output BN
+    replaced by random running stats."""
+    from dist_tpu.models.backbones.resnet3d import NonLocal
+
+    rng = np.random.default_rng(3)
+    c, inner = 8, 4
+    x = rng.normal(size=(2, 2, 3, 3, c)).astype(np.float32)
+    ws = {n: rng.normal(size=(inner, c, 1, 1, 1)).astype(np.float32) * 0.3
+          for n in ("theta", "phi", "g")}
+    bs = {n: rng.normal(size=(inner,)).astype(np.float32) * 0.1
+          for n in ("theta", "phi", "g")}
+    w_out = rng.normal(size=(c, inner, 1, 1, 1)).astype(np.float32) * 0.3
+    b_out = rng.normal(size=(c,)).astype(np.float32) * 0.1
+    bn = _bn_params(c, rng)
+
+    variables = {
+        "params": {
+            **{n: {"kernel": _conv3d_w(ws[n]), "bias": jnp.asarray(bs[n])}
+               for n in ("theta", "phi", "g")},
+            "out": {"kernel": _conv3d_w(w_out), "bias": jnp.asarray(b_out)},
+            "bn": {"scale": jnp.asarray(bn["scale"]),
+                   "bias": jnp.asarray(bn["bias"])},
+        },
+        "batch_stats": {"bn": {"mean": jnp.asarray(bn["mean"]),
+                               "var": jnp.asarray(bn["var"])}},
+    }
+    out = NonLocal(None).apply(variables, jnp.asarray(x), train=False)
+
+    xt = _to_torch(x)
+    q = F.conv3d(xt, torch.from_numpy(ws["theta"]),
+                 torch.from_numpy(bs["theta"])).reshape(2, inner, -1)
+    k = F.conv3d(xt, torch.from_numpy(ws["phi"]),
+                 torch.from_numpy(bs["phi"])).reshape(2, inner, -1)
+    v = F.conv3d(xt, torch.from_numpy(ws["g"]),
+                 torch.from_numpy(bs["g"])).reshape(2, inner, -1)
+    attn = torch.einsum("nct,ncp->ntp", q, k) * (inner ** -0.5)
+    attn = F.softmax(attn, dim=2)
+    o = torch.einsum("ntg,ncg->nct", attn, v).reshape(2, inner, 2, 3, 3)
+    o = F.conv3d(o, torch.from_numpy(w_out), torch.from_numpy(b_out))
+    o = _torch_bn(c, bn)(o)
+    expect = _from_torch(_to_torch(x) + o)
+    np.testing.assert_allclose(np.asarray(out), expect, atol=2e-4, rtol=1e-4)
