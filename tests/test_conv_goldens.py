@@ -200,3 +200,44 @@ def test_nonlocal_matches_torch():
     o = _torch_bn(c, bn)(o)
     expect = _from_torch(_to_torch(x) + o)
     np.testing.assert_allclose(np.asarray(out), expect, atol=2e-4, rtol=1e-4)
+
+
+def test_route_func_mlp_matches_torch():
+    """TAda calibration generator: frame GAP + global context conv, two
+    temporal 1D convs, output 1 + residual (reference tada_branch.py:15-63)."""
+    from dist_tpu.models.branches.tada import RouteFuncMLP
+
+    rng = np.random.default_rng(4)
+    c, ratio, k = 8, 2, (3, 3)
+    x = rng.normal(size=(2, 4, 5, 5, c)).astype(np.float32)
+    w_g = rng.normal(size=(c, c, 1, 1, 1)).astype(np.float32) * 0.3
+    b_g = rng.normal(size=(c,)).astype(np.float32) * 0.1
+    w_a = rng.normal(size=(c // ratio, c, k[0], 1, 1)).astype(np.float32) * 0.3
+    b_a = rng.normal(size=(c // ratio,)).astype(np.float32) * 0.1
+    w_b = rng.normal(size=(c, c // ratio, k[1], 1, 1)).astype(np.float32) * 0.3
+    bn = _bn_params(c // ratio, rng)
+
+    variables = {
+        "params": {
+            "g": {"kernel": _conv3d_w(w_g), "bias": jnp.asarray(b_g)},
+            "a": {"kernel": _conv3d_w(w_a), "bias": jnp.asarray(b_a)},
+            "bn": {"scale": jnp.asarray(bn["scale"]),
+                   "bias": jnp.asarray(bn["bias"])},
+            "b": {"kernel": _conv3d_w(w_b)},
+        },
+        "batch_stats": {"bn": {"mean": jnp.asarray(bn["mean"]),
+                               "var": jnp.asarray(bn["var"])}},
+    }
+    out = RouteFuncMLP(c_in=c, ratio=ratio, kernels=k).apply(
+        variables, jnp.asarray(x), train=False)
+
+    xt = _to_torch(x)
+    g = xt.mean(dim=(2, 3, 4), keepdim=True)
+    frame = xt.mean(dim=(3, 4), keepdim=True)
+    g = F.conv3d(g, torch.from_numpy(w_g), torch.from_numpy(b_g))
+    h = F.conv3d(frame + g, torch.from_numpy(w_a), torch.from_numpy(b_a),
+                 padding=(k[0] // 2, 0, 0))
+    h = torch.relu(_torch_bn(c // ratio, bn)(h))
+    h = F.conv3d(h, torch.from_numpy(w_b), padding=(k[1] // 2, 0, 0)) + 1.0
+    np.testing.assert_allclose(np.asarray(out), _from_torch(h),
+                               atol=2e-4, rtol=1e-4)
