@@ -115,13 +115,17 @@ def random_hflip(rng, video, p=0.5):
     return jnp.where(flip, video[:, :, :, ::-1], video)
 
 
-def gaussian_blur(rng, video, c: DeviceAugConfig, kernel_size=5):
+def gaussian_blur(rng, video, c: DeviceAugConfig, kernel_size=None):
     """Separable gaussian blur with per-sample random sigma in
     [0.1, blur_sigma*2], applied with prob blur_p (augmentations.py
-    GaussianBlur semantics)."""
+    GaussianBlur semantics). Kernel defaults to ~10% of the short side
+    (odd, >= 3) like the host-path SimCLR blur — shapes are static under
+    jit, so this resolves at trace time."""
     if c.blur_p <= 0:
         return video
     b, t, h, w, ch = video.shape
+    if kernel_size is None:
+        kernel_size = max((min(h, w) // 10) | 1, 3)
     keys = jax.random.split(rng, b)
     half = kernel_size // 2
     offs = jnp.arange(-half, half + 1, dtype=jnp.float32)
