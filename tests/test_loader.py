@@ -99,3 +99,16 @@ def test_multihost_index_sharding_partitions_stream():
     assert combined == sorted(list(range(11)) + [0])  # wrap-pad with idx 0
     # equal batch counts on every host (collectives stay in lockstep)
     assert len(loaders[0]) == len(loaders[1])
+
+
+def test_bpe_tokenizer_matches_canonical_clip_ids():
+    """The bundled BPE vocab + tokenizer reproduce OpenAI CLIP's token ids
+    exactly (sot=49406/eot=49407 framing, known ids for common words) —
+    label-text classification depends on bit-exact tokenization."""
+    import numpy as np
+    from dist_tpu.data.tokenizer import tokenize
+
+    t = np.asarray(tokenize(["a photo of a cat"]))
+    assert t.shape == (1, 77)
+    assert t[0][:7].tolist() == [49406, 320, 1125, 539, 320, 2368, 49407]
+    assert t[0][7:].sum() == 0
