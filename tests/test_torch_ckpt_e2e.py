@@ -118,3 +118,38 @@ def test_fp16_jit_archive_matches_fp32_pickle(torch_ckpt, tmp_path_factory):
     # fp16 storage rounding only: outputs agree tightly
     assert np.max(np.abs(p32 - p16)) < 5e-2
     assert np.corrcoef(p32.ravel(), p16.ravel())[0, 1] > 0.999
+
+
+def test_convert_checkpoint_cli_roundtrip(torch_ckpt, tmp_path):
+    """tools/convert_checkpoint.py CLI: torch .pyth -> persistent Orbax dir
+    that load_test_checkpoint restores (the process_dist_cpkt.py
+    replacement as a user-facing artifact converter)."""
+    import subprocess
+    import sys as _sys
+
+    src = torch_ckpt
+    dst = str(tmp_path / "converted")
+    r = subprocess.run(
+        [_sys.executable, os.path.join(REPO, "tools/convert_checkpoint.py"),
+         "--cfg", CFG, "--src", src, "--dst", dst],
+        env=dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu"),
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert os.path.isdir(dst)
+
+    from dist_tpu.config import load_config
+    from dist_tpu.models.base.models import build_model
+    from dist_tpu.tasks.test import _init_test_state
+    from dist_tpu.utils import checkpoint as cu
+    import numpy as np
+
+    cfg = load_config(CFG, make_output_dir=False,
+                      opts=["TEST.CHECKPOINT_FILE_PATH", dst])
+    model = build_model(cfg)
+    state = _init_test_state(cfg, model, {"video": np.zeros(
+        (1, 4, 64, 64, 3), np.float32)})
+    before = np.asarray(state.variables["params"]["visual"]["proj"])
+    state = cu.load_test_checkpoint(cfg, state)
+    after = np.asarray(state.variables["params"]["visual"]["proj"])
+    # the restored projection comes from the synth checkpoint, not the init
+    assert after.shape == before.shape and not np.allclose(before, after)
