@@ -133,5 +133,27 @@ for batch in test_loader:
 stats = meter.finalize_metrics()
 assert float(stats["top1_acc"]) == 100.0, stats
 
+# ---- EPIC dual-head meter across hosts: one-hot verb/noun scores per
+# host shard must ensemble to 100% verb/noun/action accuracy on both ----
+from dist_tpu.utils.meters import EpicKitchenMeter  # noqa: E402
+
+n_videos, views, nv, nn_ = 4, 2, 3, 5
+em = EpicKitchenMeter(n_videos, views, (nv, nn_), cfg_t, ensemble_method="sum")
+all_ids = np.arange(n_videos * views)
+my_ids = all_ids[pid::2]  # disjoint per-host shard
+verb_lab = (my_ids // views) % nv
+noun_lab = (my_ids // views) % nn_
+local_preds = {"verb_class": np.eye(nv, dtype=np.float32)[verb_lab],
+               "noun_class": np.eye(nn_, dtype=np.float32)[noun_lab]}
+g_verb, g_noun = C.all_gather_arrays(local_preds["verb_class"],
+                                     local_preds["noun_class"])
+g_vl, g_nl = C.all_gather_arrays(verb_lab, noun_lab)
+(g_ids2,) = C.all_gather_arrays(my_ids)
+em.update_stats({"verb_class": g_verb, "noun_class": g_noun},
+                {"verb_class": g_vl, "noun_class": g_nl}, g_ids2)
+estats = em.finalize_metrics()
+for key in ("verb_top1_acc", "noun_top1_acc", "action_top1_acc"):
+    assert float(estats[key]) == 100.0, (key, estats)
+
 C.synchronize()
 print(f"mp_worker {pid}: OK")
