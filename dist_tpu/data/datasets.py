@@ -99,9 +99,14 @@ class Synthetic(BaseVideoDataset):
 
     def _get_sample_info(self, index):
         vid = self._samples[index]
-        num_classes = int(self.cfg.VIDEO.HEAD.NUM_CLASSES or 10)
+        nc = self.cfg.VIDEO.HEAD.NUM_CLASSES
+        if isinstance(nc, (list, tuple)):
+            # dual-head (EPIC verb/noun) configs: synthesize both labels
+            return {"path": f"synthetic://{vid}",
+                    "supervised_label": vid % int(nc[0]),
+                    "verb": vid % int(nc[0]), "noun": vid % int(nc[1])}
         return {"path": f"synthetic://{vid}",
-                "supervised_label": vid % num_classes}
+                "supervised_label": vid % int(nc or 10)}
 
     def _decode_video(self, sample_info, index, rng):
         clip_idx, spatial_idx = self._view_indices(index)
@@ -123,8 +128,11 @@ class Synthetic(BaseVideoDataset):
         return clip(vid), spatial_idx
 
     def _load_dataset_labels(self, cfg):
+        nc = cfg.VIDEO.HEAD.NUM_CLASSES
+        if isinstance(nc, (list, tuple)):
+            return  # dual-head configs don't use the CLIP label-text path
         from dist_tpu.data.tokenizer import tokenize
-        n = int(cfg.VIDEO.HEAD.NUM_CLASSES or 10)
+        n = int(nc or 10)
         self.text_tokens = tokenize([f"synthetic class {i}" for i in range(n)])
 
 

@@ -223,3 +223,41 @@ class SlowFastHead(nn.Module):
         if not train and cfg.VIDEO.HEAD.ACTIVATION == "softmax":
             out = jax.nn.softmax(out.astype(jnp.float32), axis=-1)
         return out, feat
+
+
+@HEAD_REGISTRY.register()
+class SlowFastHeadx2(nn.Module):
+    """Dual verb/noun SlowFast head for EPIC-KITCHENS
+    (slowfast_head.py:106-201): shared pooled dual-pathway feature, one
+    linear per task, softmax/sigmoid at eval, dict predictions keyed
+    ``verb_class``/``noun_class`` (the contract the EPIC meters and the
+    joint-topk metrics consume)."""
+
+    cfg: Any
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        cfg = self.cfg
+        mode = cfg.VIDEO.BACKBONE.SLOWFAST.MODE
+        feats = []
+        if mode in ("slowfast", "slowonly"):
+            feats.append(x["slow"].mean(axis=(1, 2, 3)))
+        if mode in ("slowfast", "fastonly"):
+            feats.append(x["fast"].mean(axis=(1, 2, 3)))
+        feat = jnp.concatenate(feats, axis=-1)
+        h = feat
+        rate = float(cfg.VIDEO.HEAD.DROPOUT_RATE or 0.0)
+        if rate > 0:
+            h = nn.Dropout(rate, deterministic=not train)(h)
+        num_classes = tuple(int(n) for n in cfg.VIDEO.HEAD.NUM_CLASSES)
+        activation = cfg.VIDEO.HEAD.ACTIVATION
+        outs = {}
+        for i, key in enumerate(("verb_class", "noun_class")):
+            o = nn.Dense(num_classes[i], name=f"out{i + 1}")(h)
+            if not train:
+                if activation == "softmax":
+                    o = jax.nn.softmax(o.astype(jnp.float32), axis=-1)
+                elif activation == "sigmoid":
+                    o = jax.nn.sigmoid(o.astype(jnp.float32))
+            outs[key] = o
+        return outs, feat

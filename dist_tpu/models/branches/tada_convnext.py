@@ -67,6 +67,10 @@ class _TAdaConvNeXtBlockBase(nn.Module):
     drop_path_rate: float = 0.0
     layer_scale_init: float = 1e-6
     with_avgpool: bool = True
+    # zero-init the avg-pool LayerNorm so the pooled branch starts as a
+    # no-op (tada_convnext.py:56-58); the "Original" variant keeps the
+    # default ones/zeros init (tada_convnext.py:134-136)
+    avgpool_norm_zero_init: bool = True
 
     @nn.compact
     def __call__(self, x, train=True):
@@ -91,9 +95,11 @@ class _TAdaConvNeXtBlockBase(nn.Module):
         if self.with_avgpool:
             pooled = nn.avg_pool(h, (3, 1, 1), strides=(1, 1, 1),
                                  padding=((1, 1), (0, 0), (0, 0)))
+            scale_init = (nn.initializers.zeros if self.avgpool_norm_zero_init
+                          else nn.initializers.ones)
             normed = normed + nn.LayerNorm(
                 epsilon=1e-6, name="avgpool_norm",
-                scale_init=nn.initializers.zeros,
+                scale_init=scale_init,
                 bias_init=nn.initializers.zeros)(pooled)
         h = nn.Dense(4 * self.dim, name="pwconv1")(normed)
         h = nn.gelu(h, approximate=False)
@@ -118,6 +124,16 @@ class TAdaConvNeXtBlockAvgPoolGELU(_TAdaConvNeXtBlockBase):
     """Avg-pool aggregation variant (tada_convnext.py:10-82)."""
 
     with_avgpool: bool = True
+
+
+@BRANCH_REGISTRY.register()
+class TAdaConvNeXtBlockAvgPoolGELUOriginal(_TAdaConvNeXtBlockBase):
+    """Avg-pool variant with a normally-initialized pooled-branch LayerNorm
+    (tada_convnext.py:84-160): identical math to ``...AvgPoolGELU`` but the
+    pooled branch contributes from step 0 instead of fading in."""
+
+    with_avgpool: bool = True
+    avgpool_norm_zero_init: bool = False
 
 
 @BACKBONE_REGISTRY.register()

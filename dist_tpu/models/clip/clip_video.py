@@ -146,6 +146,14 @@ def clip_dist_from_cfg(cfg, arch: Optional[CLIPArchitecture] = None):
             f"unknown CLIP architecture {name!r}; provide a checkpoint to "
             f"sniff from or one of {sorted(ARCHITECTURES)}")
         arch = ARCHITECTURES[name]
+    atten_block = cfg.VIDEO.BACKBONE.get("ATTEN_BLOCK", "")
+    assert atten_block in ("", "ResidualAttentionBlock",
+                           "ResidualAttentionBlockMid"), (
+        f"unknown ATTEN_BLOCK {atten_block!r}: the reference's "
+        "ATTEN_BLOCK_REGISTRY (clip.py:39-40,204-212) carries only "
+        "ResidualAttentionBlockMid; here both names map onto the single "
+        "scanned block whose mid-feature taps ride the scan ys "
+        "(docs/CONFIG_KEYS.md)")
     use_bf16 = bool(cfg.TRAIN.get("MIXED_PRECISION", False)
                     or cfg.TRAIN.get("HALF_PRECISION", False))
     dist = None

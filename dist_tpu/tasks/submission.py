@@ -1,9 +1,10 @@
 """Submission test: multi-view inference + results-file writer
-(reference runs/submission_test.py:24-282, EPIC-KITCHENS test-server JSON).
+(reference runs/submission_test.py:24-282).
 
-Round-1 scope: generic per-video score dump (video id -> class scores /
-top-k) in the reference's JSON shape; EPIC's verb/noun dual-head output is
-emitted when preds are dicts.
+Emits the full EPIC-KITCHENS test-server JSON (version/challenge header,
+per-narration verb/noun score dicts, top-100 action ensemble) when preds
+are verb/noun dicts, and a generic per-video score dump (video id -> class
+scores / top-k) in the reference's JSON shape otherwise.
 """
 
 import json
