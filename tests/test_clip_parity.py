@@ -5,6 +5,10 @@ against torch's own ops (F.multi_head_attention_forward, F.conv2d/3d,
 F.layer_norm) — the exact primitives the reference's modules bottom out in.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy compile / e2e / torch-golden (README: Tests)
+
 import numpy as np
 import pytest
 import torch

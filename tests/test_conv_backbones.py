@@ -1,5 +1,9 @@
 """Conv backbone family: shapes, BN state threading, and a train step."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy compile / e2e / torch-golden (README: Tests)
+
 import numpy as np
 import pytest
 

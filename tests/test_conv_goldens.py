@@ -2,6 +2,10 @@
 (the TAdaConv identity already has one in test_conv_backbones): identical
 weights -> identical outputs, eval mode (BN running stats)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy compile / e2e / torch-golden (README: Tests)
+
 import numpy as np
 import torch
 import torch.nn as tnn

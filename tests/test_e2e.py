@@ -3,6 +3,10 @@ synthetic data, on the virtual 8-device CPU mesh (exercises the sharded
 train step, mixup, LR schedule, meters, orbax checkpointing, and the
 multi-view TestMeter regrouping)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy compile / e2e / torch-golden (README: Tests)
+
 import os
 import shutil
 

@@ -5,6 +5,10 @@ and disjoint per-host loader sharding. The rest of the suite covers
 multi-DEVICE paths; this covers multi-HOST ones the identity fallbacks
 skip."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy compile / e2e / torch-golden (README: Tests)
+
 import os
 import socket
 import subprocess

@@ -1,6 +1,10 @@
 """Pallas kernel correctness (interpret mode on CPU; the same kernel code
 compiles via Mosaic on TPU)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy compile / e2e / torch-golden (README: Tests)
+
 import numpy as np
 import pytest
 

@@ -1,5 +1,9 @@
 """Mesh/sharding: TP param placement + dp x tp train step on virtual mesh."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy compile / e2e / torch-golden (README: Tests)
+
 import numpy as np
 import jax
 import jax.numpy as jnp

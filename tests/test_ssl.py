@@ -1,5 +1,9 @@
 """SSL path: contrastive losses numerics + a HiCo pretrain train step."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy compile / e2e / torch-golden (README: Tests)
+
 import os
 
 import numpy as np

@@ -2,6 +2,10 @@
 ladder_net naming) loads through TEST.CHECKPOINT_FILE_PATH and drives the
 multi-view test task."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy compile / e2e / torch-golden (README: Tests)
+
 import os
 
 import numpy as np

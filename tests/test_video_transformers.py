@@ -1,5 +1,9 @@
 """Video transformer backbones: shapes + divided-attention correctness."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy compile / e2e / torch-golden (README: Tests)
+
 import os
 
 import numpy as np
