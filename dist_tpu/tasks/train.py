@@ -97,7 +97,13 @@ def train(cfg):
             state = train_epoch(cfg, mesh, state, train_step, train_loader,
                                 train_meter, cur_epoch, rng, text_features)
             if cu.is_checkpoint_epoch(cfg, cur_epoch):
-                cu.save_checkpoint(cfg, jax.device_get(state), cur_epoch)
+                # collective save of the sharded state: EVERY process calls
+                # in (orbax writes each shard exactly once, replicated
+                # leaves from the primary host only) — device_get'ing to
+                # host numpy first would make all hosts write the same
+                # files concurrently (reference is master-only torch.save,
+                # utils/checkpoint.py:102-143)
+                cu.save_checkpoint(cfg, state, cur_epoch)
             if misc.is_eval_epoch(cfg, cur_epoch):
                 eval_epoch(cfg, mesh, state, eval_step, val_loader, val_meter,
                            cur_epoch, text_features)

@@ -64,6 +64,16 @@ def is_checkpoint_epoch(cfg, cur_epoch):
 def save_checkpoint(cfg, state, cur_epoch):
     """Save the full TrainState at OUTPUT_DIR/checkpoints/ (orbax).
 
+    Multi-host contract (replaces the reference's master-only torch.save,
+    checkpoint.py:102-143): this is a COLLECTIVE — every process calls it
+    with the (possibly sharded) ``jax.Array`` state and orbax coordinates
+    the write: each array shard is written exactly once by a process that
+    addresses it, replicated / host-numpy leaves by the primary host only,
+    and the final commit is barriered so no host can race ahead of an
+    incomplete checkpoint. ``OUTPUT_DIR`` must be on storage visible to
+    all hosts (docs/MULTIHOST.md). Do NOT ``device_get`` first: host-local
+    numpy trees would make every host write the same files concurrently.
+
     The stored ``epoch`` is the NEXT fold-epoch start (``cur_epoch +
     NUM_FOLDS``): one fold-epoch covers NUM_FOLDS data epochs, so resuming
     at ``cur_epoch + 1`` would fall off the fold grid, re-train covered

@@ -155,5 +155,66 @@ estats = em.finalize_metrics()
 for key in ("verb_top1_acc", "noun_top1_acc", "action_top1_acc"):
     assert float(estats[key]) == 100.0, (key, estats)
 
+# ---- multi-host checkpoint: collective save -> restore -> resume ----
+# Every process calls save_checkpoint on the SHARDED jax.Array state
+# (orbax writes each shard exactly once, replicated/numpy leaves from the
+# primary host only — the multihost contract of utils/checkpoint.py that
+# replaces the reference's master-only torch.save, checkpoint.py:102-143).
+# Both hosts then restore the identical state and resume on the fold grid.
+import shutil  # noqa: E402
+
+from dist_tpu.tasks.state import TrainState  # noqa: E402
+from dist_tpu.utils import checkpoint as cu  # noqa: E402
+
+ckpt_root = f"/tmp/mp_ckpt_{port}"  # SHARED dir: both processes write here
+if pid == 0:
+    shutil.rmtree(ckpt_root, ignore_errors=True)
 C.synchronize()
+cfg_c = load_config(
+    os.path.join(repo, "configs/projects/dist/test/tiny_synth.yaml"),
+    opts=["OUTPUT_DIR", ckpt_root, "TRAIN.NUM_FOLDS", "2",
+          "OPTIMIZER.MAX_EPOCH", "8", "TRAIN.AUTO_RESUME", "true",
+          "TRAIN.CHECKPOINT_PERIOD", "2"],
+    make_output_dir=(pid == 0))
+C.synchronize()
+
+repl = NamedSharding(mesh2, P())
+sharded = NamedSharding(mesh2, P(DATA_AXIS))
+w = jax.device_put(np.arange(8, dtype=np.float32) * 3.0, repl)
+# per-host opt rows differ so a swapped/garbled shard write is detectable
+local_opt = np.arange(8, dtype=np.float32).reshape(4, 2) + 100.0 * pid
+opt = multihost_utils.host_local_array_to_global_array(
+    local_opt, mesh2, P(DATA_AXIS))
+state_c = TrainState(step=jax.device_put(jnp.int32(17), repl),
+                     variables={"params": {"w": w}},
+                     opt_state={"mu": opt})
+saved_path = cu.save_checkpoint(cfg_c, state_c, cur_epoch=2)
+assert saved_path.endswith("checkpoint_epoch_00004"), saved_path
+assert cu.get_last_checkpoint(cfg_c) == saved_path
+
+template = TrainState(
+    step=jax.device_put(jnp.int32(0), repl),
+    variables={"params": {"w": jax.device_put(jnp.zeros(8), repl)}},
+    opt_state={"mu": multihost_utils.host_local_array_to_global_array(
+        np.zeros((4, 2), np.float32), mesh2, P(DATA_AXIS))})
+restored, start_epoch = cu.load_train_checkpoint(cfg_c, template)
+# fold-grid resume: stored epoch = cur_epoch + NUM_FOLDS = 4, and the
+# remaining span (8 - 4) stays divisible by NUM_FOLDS
+assert start_epoch == 4, start_epoch
+assert (int(cfg_c.OPTIMIZER.MAX_EPOCH) - start_epoch) % 2 == 0
+assert int(np.asarray(restored.step)) == 17
+np.testing.assert_array_equal(np.asarray(restored.variables["params"]["w"]),
+                              np.asarray(w))
+# the restored opt state keeps the data-axis sharding and THIS host's rows
+r_mu = restored.opt_state["mu"]
+assert not r_mu.is_fully_replicated, r_mu.sharding
+np.testing.assert_array_equal(local_rows(r_mu), local_opt)
+# identical restored scalars on both hosts
+(w_sum_all,) = C.all_gather_arrays(
+    np.asarray([float(np.asarray(restored.variables["params"]["w"]).sum())]))
+assert np.unique(w_sum_all).size == 1, w_sum_all
+
+C.synchronize()
+if pid == 0:
+    shutil.rmtree(ckpt_root, ignore_errors=True)
 print(f"mp_worker {pid}: OK")
