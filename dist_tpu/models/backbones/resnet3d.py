@@ -35,6 +35,11 @@ from dist_tpu.models.base.models import (
     BRANCH_REGISTRY,
     STEM_REGISTRY,
 )
+from dist_tpu.models.precision import (
+    compute_dtype,
+    fp32_island,
+    maybe_bf16_input,
+)
 
 _N_CONV_RESNET = {
     10: (1, 1, 1, 1),
@@ -91,14 +96,17 @@ class ConvBN(nn.Module):
     @nn.compact
     def __call__(self, x, train=True):
         pad = tuple((k // 2, k // 2) for k in self.kernel)
+        # bf16 activations select bf16 MXU compute (params stay fp32);
+        # BN is an fp32 island (models/precision.py)
         x = nn.Conv(self.features, self.kernel, strides=self.stride,
                     padding=pad, use_bias=not self.use_bn,
-                    feature_group_count=self.groups,
+                    feature_group_count=self.groups, dtype=compute_dtype(x),
                     kernel_init=nn.initializers.he_normal(), name="conv")(x)
         if self.use_bn:
-            x = nn.BatchNorm(use_running_average=not train,
+            x = fp32_island(
+                nn.BatchNorm(use_running_average=not train,
                              momentum=1.0 - self.bn_mmt, epsilon=self.bn_eps,
-                             name="bn")(x)
+                             name="bn"), x)
         if self.relu:
             x = nn.relu(x)
         return x
@@ -207,9 +215,10 @@ class NonLocal(nn.Module):
     def __call__(self, x, train=True):
         dim = x.shape[-1]
         inner = dim // 2
-        theta = nn.Conv(inner, (1, 1, 1), name="theta")(x)
-        phi = nn.Conv(inner, (1, 1, 1), name="phi")(x)
-        g = nn.Conv(inner, (1, 1, 1), name="g")(x)
+        dt = compute_dtype(x)
+        theta = nn.Conv(inner, (1, 1, 1), dtype=dt, name="theta")(x)
+        phi = nn.Conv(inner, (1, 1, 1), dtype=dt, name="phi")(x)
+        g = nn.Conv(inner, (1, 1, 1), dtype=dt, name="g")(x)
         b = x.shape[0]
         q = theta.reshape(b, -1, inner)
         k = phi.reshape(b, -1, inner)
@@ -220,9 +229,10 @@ class NonLocal(nn.Module):
         att = jax.nn.softmax(att, axis=-1)
         out = jnp.einsum("bij,bjc->bic", att.astype(v.dtype), v)
         out = out.reshape(x.shape[:-1] + (inner,))
-        out = nn.Conv(dim, (1, 1, 1), name="out")(out)
-        out = nn.BatchNorm(use_running_average=not train,
-                           scale_init=nn.initializers.zeros, name="bn")(out)
+        out = nn.Conv(dim, (1, 1, 1), dtype=dt, name="out")(out)
+        out = fp32_island(
+            nn.BatchNorm(use_running_average=not train,
+                         scale_init=nn.initializers.zeros, name="bn"), out)
         return x + out
 
 
@@ -348,6 +358,9 @@ class ResNet3D(nn.Module):
         cfg = self.cfg
         if isinstance(x, dict):
             x = x["video"]
+        # TRAIN.MIXED_PRECISION: cast once; every ConvBN below follows the
+        # activation dtype (reference fp16 semantics, clip.py:540-561)
+        x = maybe_bf16_input(cfg, x)
         stem_cls = STEM_REGISTRY.get_strict(cfg.VIDEO.BACKBONE.STEM.NAME)
         x = stem_cls(cfg, name="conv1")(x, train)
         blocks = _N_CONV_RESNET[cfg.VIDEO.BACKBONE.DEPTH]

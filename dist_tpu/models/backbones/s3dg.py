@@ -13,6 +13,11 @@ import jax
 import jax.numpy as jnp
 
 from dist_tpu.models.base.models import BACKBONE_REGISTRY, BRANCH_REGISTRY
+from dist_tpu.models.precision import (
+    compute_dtype,
+    fp32_island,
+    maybe_bf16_input,
+)
 
 
 class InceptionBaseConv3D(nn.Module):
@@ -29,8 +34,10 @@ class InceptionBaseConv3D(nn.Module):
                     ((k, k, k) if isinstance(k, int) else k))
         x = nn.Conv(self.features, (k, k, k) if isinstance(k, int) else k,
                     strides=(s, s, s) if isinstance(s, int) else s,
-                    padding=pad, use_bias=False, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, name="bn")(x)
+                    padding=pad, use_bias=False, dtype=compute_dtype(x),
+                    name="conv")(x)
+        x = fp32_island(nn.BatchNorm(use_running_average=not train,
+                                     name="bn"), x)
         return nn.relu(x)
 
 
@@ -48,13 +55,15 @@ class STConv3d(nn.Module):
         k, s = self.kernel, self.stride
         x = nn.Conv(self.features, (1, k, k), strides=(1, s, s),
                     padding=((0, 0), (k // 2, k // 2), (k // 2, k // 2)),
-                    use_bias=False, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, name="bn")(x)
+                    use_bias=False, dtype=compute_dtype(x), name="conv")(x)
+        x = fp32_island(nn.BatchNorm(use_running_average=not train,
+                                     name="bn"), x)
         x = nn.relu(x)
         x = nn.Conv(self.features, (k, 1, 1), strides=(s, 1, 1),
                     padding=((k // 2, k // 2), (0, 0), (0, 0)),
-                    use_bias=False, name="conv2")(x)
-        x = nn.BatchNorm(use_running_average=not train, name="bn2")(x)
+                    use_bias=False, dtype=compute_dtype(x), name="conv2")(x)
+        x = fp32_island(nn.BatchNorm(use_running_average=not train,
+                                     name="bn2"), x)
         return nn.relu(x)
 
 
@@ -63,9 +72,9 @@ class SelfGating(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        avg = x.mean(axis=(1, 2, 3))
+        avg = x.mean(axis=(1, 2, 3), dtype=jnp.float32)
         w = jax.nn.sigmoid(nn.Dense(x.shape[-1], name="fc")(avg))
-        return x * w[:, None, None, None, :]
+        return x * w[:, None, None, None, :].astype(x.dtype)
 
 
 class InceptionBlock3D(nn.Module):
@@ -120,6 +129,7 @@ class Inception3D(nn.Module):
         cfg = self.cfg
         if isinstance(x, dict):
             x = x["video"]
+        x = maybe_bf16_input(cfg, x)
         branch = cfg.VIDEO.BACKBONE.BRANCH.NAME
         use_st = branch == "STConv3d"
         gating = bool(cfg.VIDEO.BACKBONE.BRANCH.get("GATING", True))

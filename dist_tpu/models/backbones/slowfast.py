@@ -27,6 +27,11 @@ from dist_tpu.models.backbones.resnet3d import (
     _N_CONV_RESNET,
     ConvBN,
 )
+from dist_tpu.models.precision import (
+    compute_dtype,
+    fp32_island,
+    maybe_bf16_input,
+)
 
 import jax
 
@@ -128,9 +133,11 @@ class FuseFastToSlow(nn.Module):
                        strides=(sf.ALPHA, 1, 1),
                        padding=((k // 2, k // 2), (0, 0), (0, 0)),
                        use_bias=bool(sf.get("FUSION_CONV_BIAS", False)),
+                       dtype=compute_dtype(x_fast),
                        name="conv_f2s")(x_fast)
         if sf.get("FUSION_BN", True):
-            fuse = nn.BatchNorm(use_running_average=not train, name="bn")(fuse)
+            fuse = fp32_island(
+                nn.BatchNorm(use_running_average=not train, name="bn"), fuse)
         if sf.get("FUSION_RELU", True):
             fuse = nn.relu(fuse)
         return jnp.concatenate([x_slow, fuse], axis=-1), x_fast
@@ -164,10 +171,10 @@ class Slowfast(nn.Module):
         sf = cfg.VIDEO.BACKBONE.SLOWFAST
         mode = sf.MODE
         if isinstance(x, (list, tuple)):
-            x_slow, x_fast = x
+            x_slow, x_fast = (maybe_bf16_input(cfg, p) for p in x)
         else:
-            x_fast = x
-            x_slow = x[:, ::sf.ALPHA]
+            x_fast = maybe_bf16_input(cfg, x)
+            x_slow = x_fast[:, ::sf.ALPHA]
 
         slow_cfg = _PathwayCfg(cfg, 0)
         fast_cfg = _PathwayCfg(cfg, 1)
@@ -211,9 +218,9 @@ class SlowFastHead(nn.Module):
         mode = cfg.VIDEO.BACKBONE.SLOWFAST.MODE
         feats = []
         if mode in ("slowfast", "slowonly"):
-            feats.append(x["slow"].mean(axis=(1, 2, 3)))
+            feats.append(x["slow"].mean(axis=(1, 2, 3), dtype=jnp.float32))
         if mode in ("slowfast", "fastonly"):
-            feats.append(x["fast"].mean(axis=(1, 2, 3)))
+            feats.append(x["fast"].mean(axis=(1, 2, 3), dtype=jnp.float32))
         feat = jnp.concatenate(feats, axis=-1)
         h = feat
         rate = float(cfg.VIDEO.HEAD.DROPOUT_RATE or 0.0)
@@ -241,9 +248,9 @@ class SlowFastHeadx2(nn.Module):
         mode = cfg.VIDEO.BACKBONE.SLOWFAST.MODE
         feats = []
         if mode in ("slowfast", "slowonly"):
-            feats.append(x["slow"].mean(axis=(1, 2, 3)))
+            feats.append(x["slow"].mean(axis=(1, 2, 3), dtype=jnp.float32))
         if mode in ("slowfast", "fastonly"):
-            feats.append(x["fast"].mean(axis=(1, 2, 3)))
+            feats.append(x["fast"].mean(axis=(1, 2, 3), dtype=jnp.float32))
         feat = jnp.concatenate(feats, axis=-1)
         h = feat
         rate = float(cfg.VIDEO.HEAD.DROPOUT_RATE or 0.0)

@@ -28,6 +28,11 @@ from dist_tpu.models.base.models import (
     BRANCH_REGISTRY,
     STEM_REGISTRY,
 )
+from dist_tpu.models.precision import (
+    compute_dtype,
+    fp32_island,
+    maybe_bf16_input,
+)
 
 
 def drop_path(rng, x, rate):
@@ -58,7 +63,7 @@ class PatchEmbedStem(nn.Module):
         p = self.cfg.VIDEO.BACKBONE.PATCH_SIZE
         dim = self.cfg.VIDEO.BACKBONE.NUM_FEATURES
         x = nn.Conv(dim, (1, p, p), strides=(1, p, p), padding="VALID",
-                    name="conv1")(x)
+                    dtype=compute_dtype(x), name="conv1")(x)
         b = x.shape[0]
         return x.reshape(b, -1, dim)
 
@@ -75,7 +80,7 @@ class TubeletEmbeddingStem(nn.Module):
         ts = self.cfg.VIDEO.BACKBONE.get("TUBELET_SIZE", 2)
         dim = self.cfg.VIDEO.BACKBONE.NUM_FEATURES
         x = nn.Conv(dim, (ts, p, p), strides=(ts, p, p), padding="VALID",
-                    name="conv1")(x)
+                    dtype=compute_dtype(x), name="conv1")(x)
         b = x.shape[0]
         return x.reshape(b, -1, dim)
 
@@ -96,8 +101,10 @@ class _Attention(nn.Module):
         the divided space-time scheme of transformer.py:100-142."""
         h = self.num_heads
         hd = self.dim // h
+        dt = compute_dtype(x)
         init = nn.initializers.truncated_normal(0.02)
-        qkv = nn.Dense(self.dim * 3, kernel_init=init, name="to_qkv")(x)
+        qkv = nn.Dense(self.dim * 3, kernel_init=init, dtype=dt,
+                       name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -140,7 +147,7 @@ class _Attention(nn.Module):
             out = jnp.concatenate([cls_out, out_], axis=1)
 
         out = out.reshape(out.shape[0], out.shape[1], self.dim)
-        out = nn.Dense(self.dim, kernel_init=init, name="proj")(out)
+        out = nn.Dense(self.dim, kernel_init=init, dtype=dt, name="proj")(out)
         if self.ff_dropout > 0 and train:
             out = nn.Dropout(self.ff_dropout, deterministic=False)(out)
         return out
@@ -153,12 +160,14 @@ class _FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=True):
+        dt = compute_dtype(x)
         init = nn.initializers.truncated_normal(0.02)
-        x = nn.Dense(self.dim * self.mult, kernel_init=init, name="fc1")(x)
+        x = nn.Dense(self.dim * self.mult, kernel_init=init, dtype=dt,
+                     name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         if self.ff_dropout > 0 and train:
             x = nn.Dropout(self.ff_dropout, deterministic=False)(x)
-        x = nn.Dense(self.dim, kernel_init=init, name="fc2")(x)
+        x = nn.Dense(self.dim, kernel_init=init, dtype=dt, name="fc2")(x)
         if self.ff_dropout > 0 and train:
             x = nn.Dropout(self.ff_dropout, deterministic=False)(x)
         return x
@@ -176,12 +185,16 @@ class BaseTransformerLayer(nn.Module):
         bb = self.cfg.VIDEO.BACKBONE
         dim, heads = bb.NUM_FEATURES, bb.NUM_HEADS
         dp = DropPath(self.drop_path_rate)
+        # LayerNorms are fp32 islands; the attention/FFN run at the
+        # activation dtype (bf16 under TRAIN.MIXED_PRECISION)
         x = x + dp(_Attention(dim, heads, bb.get("ATTN_DROPOUT", 0.0),
                               bb.get("FF_DROPOUT", 0.0), name="attn")(
-            nn.LayerNorm(epsilon=1e-6, name="norm")(x), train=train), train)
+            fp32_island(nn.LayerNorm(epsilon=1e-6, name="norm"), x),
+            train=train), train)
         x = x + dp(_FeedForward(dim, bb.get("MLP_MULT", 4),
                                 bb.get("FF_DROPOUT", 0.0), name="ffn")(
-            nn.LayerNorm(epsilon=1e-6, name="norm_ffn")(x), train=train), train)
+            fp32_island(nn.LayerNorm(epsilon=1e-6, name="norm_ffn"), x),
+            train=train), train)
         return x
 
 
@@ -217,20 +230,20 @@ class TimesformerLayer(nn.Module):
             rest = rest.reshape(b, n, f, c).transpose(0, 2, 1, 3).reshape(b, f * n, c)
             return jnp.concatenate([cls, rest], axis=1)
 
-        h = nn.LayerNorm(epsilon=1e-6, name="norm_temporal")(x)
+        h = fp32_island(nn.LayerNorm(epsilon=1e-6, name="norm_temporal"), x)
         h = to_tf(h)
         h = _Attention(dim, heads, bb.get("ATTN_DROPOUT", 0.0),
                        bb.get("FF_DROPOUT", 0.0), name="attn_temporal")(
             h, groups=n, group_size=f, train=train)
         x = x + dp(from_tf(h), train)
 
-        h = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        h = fp32_island(nn.LayerNorm(epsilon=1e-6, name="norm"), x)
         h = _Attention(dim, heads, bb.get("ATTN_DROPOUT", 0.0),
                        bb.get("FF_DROPOUT", 0.0), name="attn")(
             h, groups=f, group_size=n, train=train)
         x = x + dp(h, train)
 
-        h = nn.LayerNorm(epsilon=1e-6, name="norm_ffn")(x)
+        h = fp32_island(nn.LayerNorm(epsilon=1e-6, name="norm_ffn"), x)
         x = x + dp(_FeedForward(dim, 4, bb.get("FF_DROPOUT", 0.0),
                                 name="ffn")(h, train=train), train)
         return x
@@ -248,16 +261,18 @@ class VideoTransformer(nn.Module):
         bb = cfg.VIDEO.BACKBONE
         if isinstance(x, dict):
             x = x["video"]
+        x = maybe_bf16_input(cfg, x)
         dim = bb.NUM_FEATURES
         stem_cls = STEM_REGISTRY.get_strict(bb.STEM.NAME)
         x = stem_cls(cfg, name="stem")(x, train)
         b, num_patches, _ = x.shape
 
         cls = self.param("cls_token", nn.initializers.truncated_normal(0.02), (1, 1, dim))
-        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, dim)), x], axis=1)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls, (b, 1, dim)).astype(x.dtype), x], axis=1)
         pos = self.param("pos_embd", nn.initializers.truncated_normal(0.02),
                          (1, num_patches + 1, dim))
-        x = x + pos
+        x = x + pos.astype(x.dtype)
 
         depth = bb.DEPTH
         dpr = [float(r) for r in jnp.linspace(0, bb.get("DROP_PATH", 0.0), depth)]
@@ -283,6 +298,7 @@ class FactorizedTransformer(nn.Module):
         bb = cfg.VIDEO.BACKBONE
         if isinstance(x, dict):
             x = x["video"]
+        x = maybe_bf16_input(cfg, x)
         dim = bb.NUM_FEATURES
         p = bb.PATCH_SIZE
         ts = bb.get("TUBELET_SIZE", 1)
@@ -298,7 +314,8 @@ class FactorizedTransformer(nn.Module):
 
         cls = self.param("cls_token", nn.initializers.truncated_normal(0.02), (1, 1, dim))
         x = jnp.concatenate(
-            [jnp.broadcast_to(cls, (x.shape[0], 1, dim)), x], axis=1)
+            [jnp.broadcast_to(cls, (x.shape[0], 1, dim)).astype(x.dtype), x],
+            axis=1)
 
         pos = self.param("pos_embd", nn.initializers.truncated_normal(0.02),
                          (1, train_per_frame + 1, dim))
@@ -310,7 +327,7 @@ class FactorizedTransformer(nn.Module):
             grid = jax.image.resize(grid, (1, side1, side1, dim), "bilinear")
             pos = jnp.concatenate(
                 [pos[:, :1], grid.reshape(1, side1 * side1, dim)], axis=1)
-        x = x + pos
+        x = x + pos.astype(x.dtype)
 
         depth, depth_temp = bb.DEPTH, bb.get("DEPTH_TEMP", 4)
         dpr = [float(r) for r in
@@ -318,15 +335,19 @@ class FactorizedTransformer(nn.Module):
         branch_cls = BRANCH_REGISTRY.get_strict(bb.BRANCH.NAME)
         for i in range(depth):
             x = branch_cls(cfg, drop_path_rate=dpr[i], name=f"layer_{i}")(x, train)
-        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)[:, 0]
+        # island (not a plain LN) so the temporal layers below keep the
+        # bf16 activation dtype under mixed precision
+        x = fp32_island(nn.LayerNorm(epsilon=1e-6, name="norm"), x)[:, 0]
 
         x = x.reshape(b, n_frames_tok, dim)
         cls_out = self.param("cls_token_out", nn.initializers.truncated_normal(0.02),
                              (1, 1, dim))
-        x = jnp.concatenate([jnp.broadcast_to(cls_out, (b, 1, dim)), x], axis=1)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls_out, (b, 1, dim)).astype(x.dtype), x],
+            axis=1)
         temp = self.param("temp_embd", nn.initializers.truncated_normal(0.02),
                           (1, n_frames_tok + 1, dim))
-        x = x + temp
+        x = x + temp.astype(x.dtype)
         for i in range(depth_temp):
             x = branch_cls(cfg, drop_path_rate=dpr[depth + i],
                            name=f"layer_temporal_{i}")(x, train)

@@ -22,6 +22,7 @@ from dist_tpu.models.backbones.video_transformer import (
     BaseTransformerLayer,
     TubeletEmbeddingStem,
 )
+from dist_tpu.models.precision import maybe_bf16_input
 
 
 def sincos_pos_embed(n, dim):
@@ -57,8 +58,9 @@ class VitVideoEncoder(nn.Module):
         cfg = self.cfg
         if isinstance(x, dict):
             x = x["video"]
+        x = maybe_bf16_input(cfg, x)
         x = TubeletEmbeddingStem(cfg, name="stem")(x, train)
-        x = x + sincos_pos_embed(x.shape[1], x.shape[2])
+        x = x + sincos_pos_embed(x.shape[1], x.shape[2]).astype(x.dtype)
         x = _Blocks(cfg, cfg.VIDEO.BACKBONE.DEPTH, name="blocks")(x, train)
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         return x.mean(axis=1)
@@ -80,9 +82,10 @@ class VitVideoMAEEncoder(nn.Module):
         if isinstance(x, dict):
             x = x["video"]
         ratio = float(cfg.VIDEO.BACKBONE.get("MASK_RATIO", 0.9))
+        x = maybe_bf16_input(cfg, x)
         x = TubeletEmbeddingStem(cfg, name="stem")(x, train)
         b, n, c = x.shape
-        x = x + sincos_pos_embed(n, c)
+        x = x + sincos_pos_embed(n, c).astype(x.dtype)
 
         n_keep = max(1, int(round(n * (1.0 - ratio))))
         if rng is None:

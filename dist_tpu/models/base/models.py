@@ -41,9 +41,10 @@ class BaseHead(nn.Module):
         if isinstance(x, dict):
             x = x.get("features", x.get("vid_logits"))
         if x.ndim == 5:  # (B, T, H, W, C) feature map
-            x = x.mean(axis=(1, 2, 3))
+            # fp32 accumulation: the map may be bf16 under MIXED_PRECISION
+            x = x.mean(axis=(1, 2, 3), dtype=jnp.float32)
         elif x.ndim > 2:
-            x = x.reshape(x.shape[0], -1)
+            x = x.reshape(x.shape[0], -1).astype(jnp.float32)
         feat = x
         if self.dropout_rate > 0:
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
@@ -71,7 +72,7 @@ class BaseHeadx2(nn.Module):
         if isinstance(x, dict):
             x = x.get("features", x.get("vid_logits"))
         if x.ndim == 5:
-            x = x.mean(axis=(1, 2, 3))
+            x = x.mean(axis=(1, 2, 3), dtype=jnp.float32)
         feat = x
         if self.dropout_rate > 0:
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)

@@ -19,8 +19,10 @@ dynamic weights, no groups, no reshape through a degenerate batch of 1.
 from typing import Any, Tuple
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from dist_tpu.models.base.models import BRANCH_REGISTRY
+from dist_tpu.models.precision import compute_dtype, fp32_island
 
 
 class RouteFuncMLP(nn.Module):
@@ -35,9 +37,13 @@ class RouteFuncMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=True):
-        # x (B, T, H, W, C) -> alpha (B, T, 1, 1, C)
-        frame = x.mean(axis=(2, 3), keepdims=True)          # (B,T,1,1,C)
-        glob = x.mean(axis=(1, 2, 3), keepdims=True)        # (B,1,1,1,C)
+        # x (B, T, H, W, C) -> alpha (B, T, 1, 1, C); the tiny calibration
+        # MLP runs fp32 regardless of the activation dtype (the pooled
+        # means accumulate in fp32, the convs promote with fp32 params)
+        frame = x.mean(axis=(2, 3), keepdims=True,
+                       dtype=jnp.float32)                   # (B,T,1,1,C)
+        glob = x.mean(axis=(1, 2, 3), keepdims=True,
+                      dtype=jnp.float32)                    # (B,1,1,1,C)
         g = nn.Conv(self.c_in, (1, 1, 1), name="g")(glob)
         h = nn.Conv(self.c_in // self.ratio, (self.kernels[0], 1, 1),
                     padding=((self.kernels[0] // 2,) * 2, (0, 0), (0, 0)),
@@ -64,12 +70,14 @@ class TAdaConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, alpha):
-        x = x * alpha  # (B,T,H,W,C) * (B,T,1,1,C)
+        # the calibration generator runs fp32; cast its output so the
+        # scale doesn't promote a bf16 activation back to fp32
+        x = x * alpha.astype(x.dtype)  # (B,T,H,W,C) * (B,T,1,1,C)
         pad = tuple((k // 2, k // 2) for k in self.kernel)
         return nn.Conv(self.features, (1,) + self.kernel,
                        strides=(1,) + self.stride,
                        padding=((0, 0),) + pad, use_bias=False,
-                       name="conv")(x)
+                       dtype=compute_dtype(x), name="conv")(x)
 
 
 @BRANCH_REGISTRY.register()
@@ -95,8 +103,9 @@ class TAdaConvBlockAvgPool(nn.Module):
                 scale_init=nn.initializers.zeros if zero else nn.initializers.ones,
                 bias_init=nn.initializers.zeros, name=name)
 
-        x = nn.Conv(exp, (1, 1, 1), use_bias=False, name="a")(x)
-        x = nn.relu(bn("a_bn")(x))
+        x = nn.Conv(exp, (1, 1, 1), use_bias=False, dtype=compute_dtype(x),
+                    name="a")(x)
+        x = nn.relu(fp32_island(bn("a_bn"), x))
 
         alpha = RouteFuncMLP(exp, route_r, route_k, name="b_rf")(x, train)
         h = TAdaConv2d(exp, (k[1], k[2]), (st[1], st[2]), name="b")(x, alpha)
@@ -105,8 +114,10 @@ class TAdaConvBlockAvgPool(nn.Module):
         pooled = nn.avg_pool(
             h, pool_k, strides=(1, 1, 1),
             padding=tuple((kk // 2, kk // 2) for kk in pool_k))
-        x = bn("b_bn")(h) + bn("b_avgpool_bn", zero=True)(pooled)
+        x = (fp32_island(bn("b_bn"), h)
+             + fp32_island(bn("b_avgpool_bn", zero=True), pooled))
         x = nn.relu(x)
 
-        x = nn.Conv(s["num_filters"], (1, 1, 1), use_bias=False, name="c")(x)
-        return bn("c_bn")(x)
+        x = nn.Conv(s["num_filters"], (1, 1, 1), use_bias=False,
+                    dtype=compute_dtype(x), name="c")(x)
+        return fp32_island(bn("c_bn"), x)

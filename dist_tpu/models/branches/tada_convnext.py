@@ -22,6 +22,11 @@ import jax.numpy as jnp
 
 from dist_tpu.models.base.models import BACKBONE_REGISTRY, BRANCH_REGISTRY
 from dist_tpu.models.backbones.video_transformer import DropPath
+from dist_tpu.models.precision import (
+    compute_dtype,
+    fp32_island,
+    maybe_bf16_input,
+)
 
 
 class RouteFuncNeXt(nn.Module):
@@ -37,9 +42,11 @@ class RouteFuncNeXt(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=True):
-        # x (B, T, H, W, C) -> (B, T, 1, 1, C)
-        frame = x.mean(axis=(2, 3), keepdims=True)
-        glob = x.mean(axis=(1, 2, 3), keepdims=True)
+        # x (B, T, H, W, C) -> (B, T, 1, 1, C); the calibration generator
+        # runs fp32 regardless of the activation dtype (fp32-accumulated
+        # means; the convs promote with their fp32 params)
+        frame = x.mean(axis=(2, 3), keepdims=True, dtype=jnp.float32)
+        glob = x.mean(axis=(1, 2, 3), keepdims=True, dtype=jnp.float32)
         g = nn.Conv(self.c_in, (1, 1, 1), name="g")(glob)
         h = nn.Conv(self.c_in // self.ratio, (self.kernels[0], 1, 1),
                     padding=((self.kernels[0] // 2,) * 2, (0, 0), (0, 0)),
@@ -76,6 +83,7 @@ class _TAdaConvNeXtBlockBase(nn.Module):
     def __call__(self, x, train=True):
         br = self.cfg.VIDEO.BACKBONE.BRANCH
         inp = x
+        dt = compute_dtype(x)
         alpha = RouteFuncNeXt(
             self.dim, int(br.get("ROUTE_FUNC_R", 4)),
             tuple(br.get("ROUTE_FUNC_K", [3, 3])),
@@ -88,27 +96,27 @@ class _TAdaConvNeXtBlockBase(nn.Module):
         h = nn.Conv(self.dim, (1, 7, 7),
                     padding=((0, 0), (3, 3), (3, 3)),
                     feature_group_count=self.dim, use_bias=False,
-                    name="dwconv")(x)
+                    dtype=dt, name="dwconv")(x)
         bias = self.param("dwconv_bias", nn.initializers.zeros, (self.dim,))
-        h = h * w_cal + bias * b_cal
-        normed = nn.LayerNorm(epsilon=1e-6, name="norm")(h)
+        h = h * w_cal.astype(h.dtype) + (bias * b_cal).astype(h.dtype)
+        normed = fp32_island(nn.LayerNorm(epsilon=1e-6, name="norm"), h)
         if self.with_avgpool:
             pooled = nn.avg_pool(h, (3, 1, 1), strides=(1, 1, 1),
                                  padding=((1, 1), (0, 0), (0, 0)))
             scale_init = (nn.initializers.zeros if self.avgpool_norm_zero_init
                           else nn.initializers.ones)
-            normed = normed + nn.LayerNorm(
+            normed = normed + fp32_island(nn.LayerNorm(
                 epsilon=1e-6, name="avgpool_norm",
                 scale_init=scale_init,
-                bias_init=nn.initializers.zeros)(pooled)
-        h = nn.Dense(4 * self.dim, name="pwconv1")(normed)
+                bias_init=nn.initializers.zeros), pooled)
+        h = nn.Dense(4 * self.dim, dtype=dt, name="pwconv1")(normed)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.dim, name="pwconv2")(h)
+        h = nn.Dense(self.dim, dtype=dt, name="pwconv2")(h)
         if self.layer_scale_init > 0:
             gamma = self.param("gamma",
                                nn.initializers.constant(self.layer_scale_init),
                                (self.dim,))
-            h = gamma * h
+            h = gamma.astype(h.dtype) * h
         return inp + DropPath(self.drop_path_rate)(h, train)
 
 
@@ -151,11 +159,12 @@ class ConvNeXt(nn.Module):
         depths = list(bb.DEPTH)
         dims = list(bb.NUM_FILTERS)
         tk = int(bb.STEM.get("T_KERNEL_SIZE", 1) or 1)
+        x = maybe_bf16_input(cfg, x)
         # patchify stem: (tk,4,4) conv stride (1,4,4)
         x = nn.Conv(dims[0], (tk, 4, 4), strides=(1, 4, 4),
                     padding=((tk // 2, tk // 2), (0, 0), (0, 0)),
-                    name="stem_conv")(x)
-        x = nn.LayerNorm(epsilon=1e-6, name="stem_norm")(x)
+                    dtype=compute_dtype(x), name="stem_conv")(x)
+        x = fp32_island(nn.LayerNorm(epsilon=1e-6, name="stem_norm"), x)
 
         branch_cls = BRANCH_REGISTRY.get_strict(bb.BRANCH.NAME)
         total = sum(depths)
@@ -163,8 +172,10 @@ class ConvNeXt(nn.Module):
         block_id = 0
         for stage, (depth, dim) in enumerate(zip(depths, dims)):
             if stage > 0:
-                x = nn.LayerNorm(epsilon=1e-6, name=f"down_norm{stage}")(x)
+                x = fp32_island(
+                    nn.LayerNorm(epsilon=1e-6, name=f"down_norm{stage}"), x)
                 x = nn.Conv(dim, (1, 2, 2), strides=(1, 2, 2),
+                            dtype=compute_dtype(x),
                             name=f"down_conv{stage}")(x)
             for i in range(depth):
                 x = branch_cls(
