@@ -11,12 +11,16 @@ Replaces the reference's torch DataLoader + DistributedSampler stack
   independently shuffled epochs so checkpoint/eval cadence matches
   large-batch schedules,
 - a thread-pool decode + bounded prefetch queue (DataLoader workers ->
-  threads; video decode releases the GIL inside OpenCV).
+  threads; video decode releases the GIL inside OpenCV),
+- an optional PROCESS pool (``DATA_LOADER.WORKER_TYPE: process``) for
+  GIL-bound sample work (numpy-heavy RandAugment/AugMix): the reference's
+  worker-process DataLoader equivalent, with the dataset rebuilt once per
+  worker process from the pickled cfg.
 """
 
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
 import numpy as np
 
@@ -51,12 +55,42 @@ def build_dataset(cfg, split):
     return cls(cfg, split)
 
 
+# ---- process-pool workers (DATA_LOADER.WORKER_TYPE: process) ----
+# The dataset is rebuilt ONCE per worker process (initializer) from the
+# pickled cfg dict — the analog of torch DataLoader worker processes
+# (reference dataset/base/builder.py:46-93). Sample access goes through a
+# module-level function because bound methods of the parent's dataset
+# don't pickle usefully.
+
+_PROC_DATASET = None
+
+
+def _proc_worker_init(cfg_dict, split):
+    global _PROC_DATASET
+    try:
+        import cv2
+        cv2.setNumThreads(0)  # workers are the parallelism; don't nest
+    except Exception:
+        pass
+    from dist_tpu.config.config import Config
+    _PROC_DATASET = build_dataset(Config(cfg_dict), split)
+
+
+def _proc_worker_getitem(index, epoch_rate=None):
+    if epoch_rate is not None and hasattr(_PROC_DATASET, "set_epoch_rate"):
+        # curriculum progress travels with the request (the parent's
+        # set_epoch_rate only mutates the parent's dataset copy)
+        _PROC_DATASET.set_epoch_rate(epoch_rate)
+    return _PROC_DATASET[index]
+
+
 class Loader:
     """Batched iterator with per-epoch shuffling and threaded prefetch."""
 
     def __init__(self, dataset, batch_size, shuffle, drop_last, num_workers,
                  seed=0, num_folds=1, process_index=0, process_count=1,
-                 prefetch=2, collate_fn=None):
+                 prefetch=2, collate_fn=None, worker_type="thread",
+                 worker_ctx=None):
         self.collate_fn = collate_fn
         self.dataset = dataset
         self.batch_size = batch_size
@@ -69,6 +103,33 @@ class Loader:
         self.process_count = process_count
         self.prefetch = prefetch
         self.epoch = 0
+        assert worker_type in ("thread", "process"), worker_type
+        self.worker_type = worker_type
+        self.worker_ctx = worker_ctx  # (cfg_dict, split) for process pools
+        self._proc_pool = None
+
+    def _get_pool(self):
+        """Per-iteration thread pool, or a PERSISTENT process pool (worker
+        startup rebuilds the dataset — too slow to pay per epoch)."""
+        if self.worker_type == "thread":
+            return ThreadPoolExecutor(self.num_workers), True
+        if self._proc_pool is None:
+            import multiprocessing as mp
+            cfg_dict, split = self.worker_ctx
+            self._proc_pool = ProcessPoolExecutor(
+                self.num_workers, mp_context=mp.get_context("spawn"),
+                initializer=_proc_worker_init, initargs=(cfg_dict, split))
+        return self._proc_pool, False
+
+    def _submit(self, pool, index):
+        if self.worker_type == "thread":
+            return pool.submit(self.dataset.__getitem__, int(index))
+        rate = getattr(self.dataset, "epoch_rate", None)
+        return pool.submit(_proc_worker_getitem, int(index), rate)
+
+    def __del__(self):
+        if self._proc_pool is not None:
+            self._proc_pool.shutdown(wait=False, cancel_futures=True)
 
     def set_epoch(self, epoch):
         """(reference shuffle_dataset / sampler.set_epoch)"""
@@ -136,9 +197,11 @@ class Loader:
             # k+1 while batch k is being stacked / consumed (the reference's
             # DataLoader gets this from per-worker prefetching,
             # dataset/base/builder.py:46-93)
+            import contextlib
             from collections import deque
             try:
-                with ThreadPoolExecutor(self.num_workers) as pool:
+                pool, ephemeral = self._get_pool()
+                with (pool if ephemeral else contextlib.nullcontext()):
                     chunks = deque(batches)
                     chunk_futs = deque()
                     inflight = 0
@@ -148,8 +211,7 @@ class Loader:
                         nonlocal inflight
                         while chunks and inflight < bound:
                             chunk = chunks.popleft()
-                            futs = [pool.submit(self.dataset.__getitem__,
-                                                int(i)) for i in chunk]
+                            futs = [self._submit(pool, i) for i in chunk]
                             inflight += len(futs)
                             chunk_futs.append(futs)
 
@@ -223,13 +285,16 @@ def build_loader(cfg, split):
     if cfg.DATA_LOADER.get("COLLATE_FN"):
         collate_fn = COLLATE_FN_REGISTRY.get_strict(
             cfg.DATA_LOADER.COLLATE_FN)(cfg)
+    worker_type = str(cfg.DATA_LOADER.get("WORKER_TYPE", "thread") or "thread")
     return Loader(
         dataset, batch_size, shuffle, drop_last,
         num_workers=cfg.DATA_LOADER.NUM_WORKERS,
         seed=int(cfg.RANDOM_SEED), num_folds=num_folds,
         process_index=jax.process_index(), process_count=jax.process_count(),
         prefetch=int(cfg.DATA_LOADER.get("PREFETCH", 2)),
-        collate_fn=collate_fn,
+        collate_fn=collate_fn, worker_type=worker_type,
+        worker_ctx=(dataset.cfg.cfg_dict, split)
+        if worker_type == "process" else None,
     )
 
 

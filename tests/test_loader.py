@@ -112,3 +112,46 @@ def test_bpe_tokenizer_matches_canonical_clip_ids():
     assert t.shape == (1, 77)
     assert t[0][:7].tolist() == [49406, 320, 1125, 539, 320, 2368, 49407]
     assert t[0][7:].sum() == 0
+
+
+def test_process_pool_worker_matches_thread_pool():
+    """DATA_LOADER.WORKER_TYPE=process: the spawned-worker pool rebuilds the
+    dataset from the pickled cfg and yields the same samples as the thread
+    pool (the reference's worker-process DataLoader equivalent,
+    dataset/base/builder.py:46-93)."""
+    import os
+
+    from dist_tpu.config import load_config
+    from dist_tpu.data.builder import build_loader
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base_opts = ["TRAIN.BATCH_SIZE", "2", "TRAIN.NUM_SAMPLES_LIMIT", "8",
+                 "DATA.NUM_INPUT_FRAMES", "2", "DATA.TRAIN_CROP_SIZE", "16",
+                 "DATA.TEST_CROP_SIZE", "16", "DATA.TEST_SCALE", "16",
+                 "DATA_LOADER.NUM_WORKERS", "2",
+                 "OUTPUT_DIR", "/tmp/test_proc_loader"]
+    cfg_t = load_config(
+        os.path.join(repo, "configs/projects/dist/test/tiny_synth.yaml"),
+        opts=base_opts, make_output_dir=False)
+    cfg_p = load_config(
+        os.path.join(repo, "configs/projects/dist/test/tiny_synth.yaml"),
+        opts=base_opts + ["DATA_LOADER.WORKER_TYPE", "process"],
+        make_output_dir=False)
+
+    def collect(cfg):
+        # val split: deterministic per-index decode/transform (train
+        # injects fresh per-call randomness, base_dataset.__getitem__)
+        loader = build_loader(cfg, "val")
+        loader.set_epoch(0)
+        out = {}
+        for b in loader:
+            for i, idx in enumerate(np.asarray(b["index"])):
+                out[int(idx)] = (np.asarray(b["video"][i]),
+                                 int(b["label"][i]))
+        return out
+
+    t, p = collect(cfg_t), collect(cfg_p)
+    assert set(t) == set(p) and len(t) == 8
+    for idx in t:
+        assert t[idx][1] == p[idx][1]
+        np.testing.assert_array_equal(t[idx][0], p[idx][0])

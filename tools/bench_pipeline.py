@@ -11,6 +11,13 @@ floor, not a ceiling — the loader's thread pool and cross-batch prefetch
 scale with DATA_LOADER.NUM_WORKERS on real hosts.
 
 Usage: PYTHONPATH=/root/repo python tools/bench_pipeline.py [n_videos]
+
+Worker-scaling sweep (publishes the measured clips/s vs workers curve):
+  BENCH_SWEEP=1,2,4,8 BENCH_WORKER_TYPE=both BENCH_DEVICE=0 \
+      python tools/bench_pipeline.py 48
+BENCH_AUG=1 adds RandAugment (numpy-heavy, GIL-BOUND) to the sample work —
+the case where `DATA_LOADER.WORKER_TYPE: process` beats the thread pool on
+multi-core hosts.
 """
 
 import json
@@ -50,27 +57,37 @@ def make_videos():
         f.write("\n".join(lines))
 
 
-def main():
-    make_videos()
+def _load_cfg(workers=None, worker_type=None):
     from dist_tpu.config import load_config
-    from dist_tpu.data.builder import build_loader
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    cfg = load_config(
+    opts = [
+        "TEST.DATASET", "kinetics400",
+        "TEST.BATCH_SIZE", str(BATCH),
+        "TEST.NUM_ENSEMBLE_VIEWS", "1",
+        "TEST.NUM_SPATIAL_CROPS", "1",
+        "DATA.DATA_ROOT_DIR", VID_DIR,
+        "DATA.ANNO_DIR", VID_DIR,
+        "DATA.DATASET_LABEL_TEXT.ENABLE", "false",
+    ]
+    if workers is not None:
+        opts += ["DATA_LOADER.NUM_WORKERS", str(workers)]
+    if worker_type is not None:
+        opts += ["DATA_LOADER.WORKER_TYPE", worker_type]
+    if os.environ.get("BENCH_AUG", "0") == "1":
+        opts += ["AUGMENTATION.AUTOAUGMENT.ENABLE", "true"]
+    return load_config(
         os.path.join(repo, "configs/projects/dist/ssv2/vit-b16-8+16f.yaml"),
-        opts=[
-            "TEST.DATASET", "kinetics400",
-            "TEST.BATCH_SIZE", str(BATCH),
-            "TEST.NUM_ENSEMBLE_VIEWS", "1",
-            "TEST.NUM_SPATIAL_CROPS", "1",
-            "DATA.DATA_ROOT_DIR", VID_DIR,
-            "DATA.ANNO_DIR", VID_DIR,
-            "DATA.DATASET_LABEL_TEXT.ENABLE", "false",
-        ], make_output_dir=False)
-    loader = build_loader(cfg, "test")
+        opts=opts, make_output_dir=False)
 
-    # 1. loader-only
+
+def _measure_loader(cfg, worker_type):
+    from dist_tpu.data.builder import build_loader
+
+    loader = build_loader(cfg, "test")
     n = 0
+    if worker_type == "process":
+        next(iter(loader))  # exclude worker spawn + dataset rebuild
     t0 = time.perf_counter()
     for batch in loader:
         n += batch["video"].shape[0]
@@ -78,7 +95,27 @@ def main():
     print(json.dumps({"metric": "loader_clips_per_sec",
                       "value": round(n / dt, 2),
                       "videos": N_VIDEOS, "workers": loader.num_workers,
+                      "worker_type": worker_type,
+                      "aug": os.environ.get("BENCH_AUG", "0") == "1",
                       "host_cores": os.cpu_count()}), flush=True)
+    return loader
+
+
+def main():
+    make_videos()
+
+    sweep = os.environ.get("BENCH_SWEEP")
+    if sweep:
+        kinds = {"both": ("thread", "process")}.get(
+            os.environ.get("BENCH_WORKER_TYPE", "thread"),
+            (os.environ.get("BENCH_WORKER_TYPE", "thread"),))
+        for kind in kinds:
+            for w in [int(s) for s in sweep.split(",")]:
+                _measure_loader(_load_cfg(w, kind), kind)
+        return
+
+    cfg = _load_cfg()
+    loader = _measure_loader(cfg, "thread")
 
     if not DEVICE_EVAL:
         return
