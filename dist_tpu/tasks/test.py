@@ -63,6 +63,15 @@ def test(cfg):
     text_features = compute_text_features(
         model, state.variables, getattr(dataset, "text_tokens", None), mesh)
 
+    from dist_tpu.utils.visualization import maybe_dump_first_batch
+    if maybe_dump_first_batch(
+            cfg, model, state.variables,
+            {"video": first_batch["video"], "text_features": text_features}):
+        # feature-map artifacts dumped for the first batch (the functional
+        # analog of the reference's per-module forward hooks,
+        # base_blocks.py:36-61 gated on cfg.VISUALIZATION.*)
+        logger.info("VISUALIZATION.FEATURE_MAPS written for batch 0")
+
     with mesh:
         state = shard_params(mesh, state)
         eval_step = jax.jit(make_eval_step(model, cfg))
