@@ -27,6 +27,8 @@ WARMUP = int(os.environ.get("BENCH_WARMUP", "2"))
 MODE = os.environ.get("BENCH_MODE", "eval")  # eval | train
 CFG = os.environ.get("BENCH_CFG",
                      "configs/projects/dist/ssv2/vit-b16-8+16f.yaml")
+# extra dotted-key overrides, e.g. BENCH_OPTS="TRAIN.MIXED_PRECISION true"
+OPTS = os.environ.get("BENCH_OPTS", "").split()
 
 
 def main():
@@ -41,7 +43,7 @@ def main():
 
     repo = os.path.dirname(os.path.abspath(__file__))
     cfg = load_config(os.path.join(repo, CFG),
-                      opts=["TRAIN.BATCH_SIZE", str(BATCH)],
+                      opts=["TRAIN.BATCH_SIZE", str(BATCH)] + OPTS,
                       make_output_dir=False)
 
     model = build_model(cfg)

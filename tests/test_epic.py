@@ -63,6 +63,7 @@ def test_epic_dataset_labels(epic_root):
     assert item["video"].shape == (4, 32, 32, 3)
 
 
+@pytest.mark.slow  # heavy compile (fast-lane budget, README: Tests)
 def test_epic_train_step_dict_labels(epic_root):
     from dist_tpu.models.base.models import build_model
     from dist_tpu.optim.optimizer import construct_optimizer

@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +49,7 @@ def test_window_means():
     np.testing.assert_allclose(np.asarray(m[0, 2, :4, 0]), [1, 2, 3, 4], atol=1e-6)
 
 
+@pytest.mark.slow  # heavy compile (fast-lane budget, README: Tests)
 def test_bmn_head_and_losses():
     from dist_tpu.models.base.models import build_model
     from dist_tpu.optim.losses import calculate_loss
@@ -72,6 +74,7 @@ def test_bmn_head_and_losses():
     assert set(parts) == {"tem", "pem_reg", "pem_cls"}
 
 
+@pytest.mark.slow  # heavy compile (fast-lane budget, README: Tests)
 def test_bmn_losses_differentiable():
     from dist_tpu.models.base.models import build_model
     from dist_tpu.optim.losses import calculate_loss

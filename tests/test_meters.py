@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from dist_tpu.config import load_config
 from dist_tpu.utils.meters import EpicKitchenMeter, ScalarMeter, TestMeter
@@ -56,6 +57,7 @@ def test_epic_meter_joint_action():
     assert stats["action_top1_acc"] == "100.00"
 
 
+@pytest.mark.slow  # heavy compile (fast-lane budget, README: Tests)
 def test_feature_map_intermediates():
     """VISUALIZATION analog: capture_intermediates through the model."""
     import jax
