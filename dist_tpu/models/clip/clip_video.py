@@ -57,6 +57,7 @@ class CLIPDiSTModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     remat: bool = False
+    ladder_unroll: int = -1  # -1 = full unroll (see DiSTNetwork.unroll)
 
     def setup(self):
         self.visual = VisionTransformer(
@@ -69,7 +70,7 @@ class CLIPDiSTModel(nn.Module):
             self.dist_net = DiSTNetwork(
                 cfg=self.dist, d_model=self.arch.vision_width,
                 output_dim=self.arch.embed_dim, dtype=self.dtype,
-                remat=self.remat, name="dist_net",
+                remat=self.remat, unroll=self.ladder_unroll, name="dist_net",
             )
         self.logit_scale = self.param(
             "logit_scale",
@@ -163,6 +164,8 @@ def clip_dist_from_cfg(cfg, arch: Optional[CLIPArchitecture] = None):
     return CLIPDiSTModel(
         prediction_fusion=zeroshot,
         remat=bool(cfg.get("TPU") and cfg.TPU.get("REMAT", False)),
+        ladder_unroll=int((cfg.get("TPU") or {}).get("LADDER_UNROLL", -1)
+                          if cfg.get("TPU") else -1),
         arch=arch,
         dist=dist,
         num_frames=cfg.DATA.NUM_INPUT_FRAMES,

@@ -361,6 +361,13 @@ class DiSTNetwork(nn.Module):
     # them (measured ~11% faster ladder backward + much lower residual
     # memory at 32/64-frame shapes)
     remat: bool = False
+    # lax.scan unroll for the ladder (TPU.LADDER_UNROLL). -1 = FULL unroll:
+    # XLA fuses/schedules across steps and drops the rolled scan's stacked
+    # dynamic-slice residual buffers — measured ladder fwd+bwd 26.2 ->
+    # 15.9 ms at B/16 batch-8 (tools/microbench.py bwd). PARTIAL unroll
+    # pessimizes (unroll=4 measured 42 ms); only 1 (rolled) or full make
+    # sense, so any other value is clamped to full.
+    unroll: int = -1
 
     @nn.compact
     def __call__(self, video, taps_selected):
@@ -387,6 +394,7 @@ class DiSTNetwork(nn.Module):
             nn.remat(_LadderStep) if self.remat else _LadderStep,
             variable_axes={"params": 0},
             split_rngs={"params": True},
+            unroll=n_sel if int(self.unroll) != 1 else 1,
         )
         zeros_mid = jnp.zeros(
             (bt, taps_selected.shape[2], c), dtype=self.dtype

@@ -205,3 +205,35 @@ def test_ladder_remat_matches_and_differentiates():
     g = jax.grad(lambda v: jnp.sum(rem.apply(v, video, taps)))(v)
     total = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g))
     assert np.isfinite(total) and total > 0
+
+
+def test_ladder_unroll_and_remat_equivalence():
+    """TPU.LADDER_UNROLL / TPU.REMAT are pure scheduling knobs: identical
+    params, identical outputs and grads vs the rolled ladder scan."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dist_tpu.models.dist.dist_net import DiSTConfig, DiSTNetwork
+
+    cfg = DiSTConfig(selected_layers=tuple(range(4)), num_frames=4, alpha=2)
+    rng = jax.random.PRNGKey(0)
+    video = jax.random.normal(rng, (1, 4, 32, 32, 3), jnp.float32)
+    taps = jax.random.normal(rng, (4, 2, 5, 64), jnp.float32)
+
+    base = DiSTNetwork(cfg=cfg, d_model=64, output_dim=16)
+    variables = base.init(rng, video, taps)
+    want = np.asarray(base.apply(variables, video, taps))
+    gwant = jax.grad(lambda v: jnp.sum(base.apply(v, video, taps)))(variables)
+
+    for kw in ({"unroll": 4}, {"remat": True},
+               {"remat": True, "unroll": 2}):
+        net = DiSTNetwork(cfg=cfg, d_model=64, output_dim=16, **kw)
+        got = np.asarray(net.apply(variables, video, taps))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+        g = jax.grad(lambda v: jnp.sum(net.apply(v, video, taps)))(variables)
+        for (pa, a), (pb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(gwant),
+                jax.tree_util.tree_leaves_with_path(g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4, err_msg=str(pa))

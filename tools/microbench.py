@@ -414,19 +414,28 @@ def cmd_bwd(_names):
     video = jax.random.normal(rng, (BATCH, 16, 224, 224, 3), jnp.float32)
     taps = jax.random.normal(rng, (12, BATCH * 8, 197, 768), dt)
 
-    dist = DiSTNetwork(cfg=cfg, d_model=768, output_dim=512, dtype=dt)
-    dvars = dist.init(rng, video, taps)
-    gfn = jax.grad(lambda v, vid, tp: jnp.sum(
-        dist.apply(v, vid, tp).astype(jnp.float32)))
+    variants = [("dist_fwd_bwd", {}),
+                ("dist_fwd_bwd_remat", {"remat": True}),
+                ("dist_fwd_bwd_unroll4", {"unroll": 4}),
+                ("dist_fwd_bwd_unroll12", {"unroll": 12}),
+                ("dist_fwd_bwd_remat_unroll12", {"remat": True, "unroll": 12})]
+    dvars = None
+    for name, kw in variants:
+        dist = DiSTNetwork(cfg=cfg, d_model=768, output_dim=512, dtype=dt,
+                           **kw)
+        if dvars is None:
+            dvars = dist.init(rng, video, taps)
+        gfn = jax.grad(lambda v, vid, tp, dist=dist: jnp.sum(
+            dist.apply(v, vid, tp).astype(jnp.float32)))
 
-    @jax.jit
-    def dist_bwd_reps(v, vid, tp):
-        def body(i, acc):
-            return acc * 0.0 + _tree_sum(
-                gfn(v, vid + (acc * 0).astype(vid.dtype), tp))
-        return jax.lax.fori_loop(0, REPS, body, jnp.zeros((), jnp.float32))
+        @jax.jit
+        def dist_bwd_reps(v, vid, tp, gfn=gfn):
+            def body(i, acc):
+                return acc * 0.0 + _tree_sum(
+                    gfn(v, vid + (acc * 0).astype(vid.dtype), tp))
+            return jax.lax.fori_loop(0, REPS, body, jnp.zeros((), jnp.float32))
 
-    _time_reps("dist_fwd_bwd", dist_bwd_reps, dvars, video, taps, outer=3)
+        _time_reps(name, dist_bwd_reps, dvars, video, taps, outer=3)
 
     stem = TemporalPatchStem(channels=96, t_patch=5, s_patch=16, dtype=dt)
     svars = stem.init(rng, video)
