@@ -206,6 +206,19 @@ class Slowfast(nn.Module):
         return {"slow": x_slow, "fast": x_fast}
 
 
+def _pool_pathways(cfg, x):
+    """Pooled dual-pathway feature shared by both SlowFast heads
+    (slowfast_head.py:80-95): fp32-accumulated global average per active
+    pathway, concatenated."""
+    mode = cfg.VIDEO.BACKBONE.SLOWFAST.MODE
+    feats = []
+    if mode in ("slowfast", "slowonly"):
+        feats.append(x["slow"].mean(axis=(1, 2, 3), dtype=jnp.float32))
+    if mode in ("slowfast", "fastonly"):
+        feats.append(x["fast"].mean(axis=(1, 2, 3), dtype=jnp.float32))
+    return jnp.concatenate(feats, axis=-1)
+
+
 @HEAD_REGISTRY.register()
 class SlowFastHead(nn.Module):
     """Dual-pathway pooled concat head (slowfast_head.py:14-201)."""
@@ -215,13 +228,7 @@ class SlowFastHead(nn.Module):
     @nn.compact
     def __call__(self, x, train=True):
         cfg = self.cfg
-        mode = cfg.VIDEO.BACKBONE.SLOWFAST.MODE
-        feats = []
-        if mode in ("slowfast", "slowonly"):
-            feats.append(x["slow"].mean(axis=(1, 2, 3), dtype=jnp.float32))
-        if mode in ("slowfast", "fastonly"):
-            feats.append(x["fast"].mean(axis=(1, 2, 3), dtype=jnp.float32))
-        feat = jnp.concatenate(feats, axis=-1)
+        feat = _pool_pathways(cfg, x)
         h = feat
         rate = float(cfg.VIDEO.HEAD.DROPOUT_RATE or 0.0)
         if rate > 0:
@@ -245,13 +252,7 @@ class SlowFastHeadx2(nn.Module):
     @nn.compact
     def __call__(self, x, train=True):
         cfg = self.cfg
-        mode = cfg.VIDEO.BACKBONE.SLOWFAST.MODE
-        feats = []
-        if mode in ("slowfast", "slowonly"):
-            feats.append(x["slow"].mean(axis=(1, 2, 3), dtype=jnp.float32))
-        if mode in ("slowfast", "fastonly"):
-            feats.append(x["fast"].mean(axis=(1, 2, 3), dtype=jnp.float32))
-        feat = jnp.concatenate(feats, axis=-1)
+        feat = _pool_pathways(cfg, x)
         h = feat
         rate = float(cfg.VIDEO.HEAD.DROPOUT_RATE or 0.0)
         if rate > 0:

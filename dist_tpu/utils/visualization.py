@@ -79,13 +79,30 @@ def dump_feature_maps(cfg, intermediates, base_index=0):
 
 def maybe_dump_first_batch(cfg, model, variables, batch):
     """The test-task hook: when cfg.VISUALIZATION.* is on, capture and dump
-    the feature maps of one forward on the given (host) batch."""
+    the feature maps of one forward on the given (host) batch.
+
+    Master-process only on multihost: every host holds a DIFFERENT index
+    shard, and the dump paths (im_<i>/...) are per-batch-position — letting
+    all hosts write the same files on the shared OUTPUT_DIR would race and
+    mix videos."""
     if not visualization_enabled(cfg):
         return 0
+    import jax
     import jax.numpy as jnp
+
+    from dist_tpu.parallel.collectives import is_master_proc
+
+    if not is_master_proc():
+        return 0
 
     from dist_tpu.data.transforms import normalize_device
 
+    batch = dict(batch)
+    if batch.get("text_features") is not None:
+        # the un-jitted capture forward runs outside the mesh: a
+        # mesh-committed replicated array must come back to host first
+        batch["text_features"] = jnp.asarray(
+            jax.device_get(batch["text_features"]))
     video = jnp.asarray(batch["video"])
     if video.dtype == jnp.uint8:
         video = normalize_device(video, list(cfg.DATA.MEAN),
@@ -94,5 +111,4 @@ def maybe_dump_first_batch(cfg, model, variables, batch):
               "text_features": batch.get("text_features")}
     _, intermediates = model.apply_with_intermediates(variables, inputs,
                                                       train=False)
-    import jax
     return dump_feature_maps(cfg, jax.device_get(intermediates))

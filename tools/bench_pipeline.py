@@ -53,8 +53,11 @@ def make_videos():
             frame = np.roll(base, t * 3, axis=1)
             wr.write(frame)
         wr.release()
-    with open(os.path.join(VID_DIR, "kinetics400_test_list.txt"), "w") as f:
-        f.write("\n".join(lines))
+    # both splits: the BENCH_AUG sweep measures the TRAIN pipeline (only
+    # the train split runs RandAugment/AutoAugment)
+    for name in ("kinetics400_test_list.txt", "kinetics400_train_list.txt"):
+        with open(os.path.join(VID_DIR, name), "w") as f:
+            f.write("\n".join(lines))
 
 
 def _load_cfg(workers=None, worker_type=None):
@@ -63,7 +66,9 @@ def _load_cfg(workers=None, worker_type=None):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     opts = [
         "TEST.DATASET", "kinetics400",
+        "TRAIN.DATASET", "kinetics400",
         "TEST.BATCH_SIZE", str(BATCH),
+        "TRAIN.BATCH_SIZE", str(BATCH),
         "TEST.NUM_ENSEMBLE_VIEWS", "1",
         "TEST.NUM_SPATIAL_CROPS", "1",
         "DATA.DATA_ROOT_DIR", VID_DIR,
@@ -84,7 +89,11 @@ def _load_cfg(workers=None, worker_type=None):
 def _measure_loader(cfg, worker_type):
     from dist_tpu.data.builder import build_loader
 
-    loader = build_loader(cfg, "test")
+    aug = os.environ.get("BENCH_AUG", "0") == "1"
+    # augmentation only runs on the TRAIN split (base_dataset._transform),
+    # so the aug sweep must measure the train pipeline
+    split = "train" if aug else "test"
+    loader = build_loader(cfg, split)
     n = 0
     if worker_type == "process":
         next(iter(loader))  # exclude worker spawn + dataset rebuild
@@ -95,8 +104,8 @@ def _measure_loader(cfg, worker_type):
     print(json.dumps({"metric": "loader_clips_per_sec",
                       "value": round(n / dt, 2),
                       "videos": N_VIDEOS, "workers": loader.num_workers,
-                      "worker_type": worker_type,
-                      "aug": os.environ.get("BENCH_AUG", "0") == "1",
+                      "worker_type": worker_type, "split": split,
+                      "aug": aug,
                       "host_cores": os.cpu_count()}), flush=True)
     return loader
 

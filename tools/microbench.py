@@ -42,12 +42,8 @@ BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 
 
 def _enable_cache():
-    import jax
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/dist_tpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
+    from dist_tpu.utils.misc import enable_compile_cache
+    enable_compile_cache()
 
 
 def _sync(x):
@@ -414,11 +410,13 @@ def cmd_bwd(_names):
     video = jax.random.normal(rng, (BATCH, 16, 224, 224, 3), jnp.float32)
     taps = jax.random.normal(rng, (12, BATCH * 8, 197, 768), dt)
 
-    variants = [("dist_fwd_bwd", {}),
-                ("dist_fwd_bwd_remat", {"remat": True}),
-                ("dist_fwd_bwd_unroll4", {"unroll": 4}),
-                ("dist_fwd_bwd_unroll12", {"unroll": 12}),
-                ("dist_fwd_bwd_remat_unroll12", {"remat": True, "unroll": 12})]
+    # NOTE: DiSTNetwork clamps unroll to rolled (1) or full — partial
+    # unroll measured strictly worse (42 ms at a hand-patched unroll=4 vs
+    # 26.2 rolled / 15.9 full at B/16 batch-8) and is not constructible
+    variants = [("dist_fwd_bwd_rolled", {"unroll": 1}),
+                ("dist_fwd_bwd_remat_rolled", {"remat": True, "unroll": 1}),
+                ("dist_fwd_bwd_unrolled", {}),  # default: full unroll
+                ("dist_fwd_bwd_remat_unrolled", {"remat": True})]
     dvars = None
     for name, kw in variants:
         dist = DiSTNetwork(cfg=cfg, d_model=768, output_dim=512, dtype=dt,
