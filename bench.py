@@ -49,11 +49,17 @@ def main():
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
     frames = int(cfg.DATA.NUM_INPUT_FRAMES)
-    n_cls = int(cfg.VIDEO.HEAD.NUM_CLASSES)
-    embed = {"ViT-B-16": 512, "ViT-L-14": 768}.get(
-        cfg.VIDEO.BACKBONE.META_ARCH_NAME, 512)
+    crop = int(cfg.DATA.TEST_CROP_SIZE or 224)
+    n_cls_cfg = cfg.VIDEO.HEAD.NUM_CLASSES
+    # EPIC dual-head configs carry [verb, noun] class counts; the text
+    # features are unused there but still need a concrete shape.
+    n_cls = (int(n_cls_cfg[0]) if isinstance(n_cls_cfg, (list, tuple))
+             else int(n_cls_cfg))
+    from dist_tpu.models.clip.model import ARCHITECTURES
+    arch = ARCHITECTURES.get(cfg.VIDEO.BACKBONE.META_ARCH_NAME)
+    embed = arch.embed_dim if arch else 512
     video_u8 = jax.random.randint(
-        rng, (BATCH, frames, 224, 224, 3), 0, 255, jnp.int32).astype(jnp.uint8)
+        rng, (BATCH, frames, crop, crop, 3), 0, 255, jnp.int32).astype(jnp.uint8)
     variables = model.init(rng, {"video": video_u8.astype(jnp.float32)})
     text_features = jax.random.normal(rng, (n_cls, embed), jnp.float32)
 
@@ -66,9 +72,14 @@ def main():
         tx, lr_fn = construct_optimizer(cfg, variables, steps_per_epoch=100)
         state = create_train_state(variables, tx)
         step = jax.jit(make_train_step(model, cfg, tx, lr_fn))
-        labels = jnp.zeros((BATCH,), jnp.int32)
-        batch = {"video": video_u8, "labels": labels,
+        batch = {"video": video_u8,
+                 "labels": jnp.zeros((BATCH,), jnp.int32),
                  "text_features": text_features}
+        if isinstance(n_cls_cfg, (list, tuple)):
+            # EPIC dual-head: the step reads batch["labels"] plus the
+            # verb/noun keys (tasks/state.py make_train_step)
+            batch["label_verb"] = jnp.zeros((BATCH,), jnp.int32)
+            batch["label_noun"] = jnp.zeros((BATCH,), jnp.int32)
 
         def forward(variables, video, text_features):
             nonlocal state
@@ -89,6 +100,8 @@ def main():
     def sync(x):
         # block_until_ready is a no-op through the axon tunnel; a
         # device->host transfer is the reliable sync point
+        if isinstance(x, dict):  # e.g. EPIC dual-head {verb, noun} preds
+            x = next(iter(x.values()))
         return np.asarray(jax.device_get(x[0, :1]))
 
     out = forward(variables, video_u8, text_features)
