@@ -14,6 +14,9 @@ Components:
   ln_gelu       LayerNorm+QuickGELU micro at tower activation shapes
 
 Usage: PYTHONPATH=/root/repo python tools/profile_eval.py [components...]
+BENCH_CFG selects the config (default: the flagship B/16 8+16f); shapes
+(tokens/width/heads/taps) derive from its architecture, so the same tool
+profiles the L/14 32+64f path.
 """
 
 import json
@@ -25,6 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 ITERS = int(os.environ.get("BENCH_ITERS", "40"))
+CFG = os.environ.get("BENCH_CFG",
+                     "configs/projects/dist/ssv2/vit-b16-8+16f.yaml")
 
 
 def main():
@@ -45,8 +50,18 @@ def main():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cfg = load_config(
-        os.path.join(repo, "configs/projects/dist/ssv2/vit-b16-8+16f.yaml"),
+        os.path.join(repo, CFG),
         opts=["TRAIN.BATCH_SIZE", str(BATCH)], make_output_dir=False)
+
+    from dist_tpu.models.clip.model import ARCHITECTURES
+    arch = ARCHITECTURES[cfg.VIDEO.BACKBONE.META_ARCH_NAME]
+    tokens = arch.grid_size ** 2 + 1
+    width, heads = arch.vision_width, arch.vision_heads
+    # analytic per-sparse-frame tower FLOPs (mul-add = 2 FLOPs):
+    # per layer: qkv 6T*d^2 + out 2T*d^2 + mlp 16T*d^2 + attn 4T^2*d
+    #            == 24*T*d^2 + 4*T^2*d
+    frame_flops = arch.vision_layers * (
+        24 * tokens * width ** 2 + 4 * tokens ** 2 * width)
 
     want = set(sys.argv[1:]) or {
         "matmul_peak", "full_eval", "tower_taps", "tower_notaps",
@@ -91,11 +106,13 @@ def main():
 
     model = build_model(cfg)
     frames = int(cfg.DATA.NUM_INPUT_FRAMES)
+    alpha = int(cfg.DATA.SPARSE_SAMPLE_ALPHA or 1)
+    res = arch.image_resolution
     video_u8 = jax.random.randint(
-        rng, (BATCH, frames, 224, 224, 3), 0, 255, jnp.int32).astype(jnp.uint8)
+        rng, (BATCH, frames, res, res, 3), 0, 255, jnp.int32).astype(jnp.uint8)
     variables = model.init(rng, {"video": video_u8.astype(jnp.float32)})
     n_cls = int(cfg.VIDEO.HEAD.NUM_CLASSES)
-    text_features = jax.random.normal(rng, (n_cls, 512), jnp.float32)
+    text_features = jax.random.normal(rng, (n_cls, arch.embed_dim), jnp.float32)
 
     from dist_tpu.tasks.state import _prep_video
 
@@ -108,7 +125,7 @@ def main():
             return preds
 
         bench("full_eval", full, variables, video_u8, text_features,
-              flops=170e9 * BATCH)
+              flops=frame_flops * BATCH * (frames // alpha))
 
     clip = model.module  # CLIPDiSTModel
     clip_vars = {"params": variables["params"]}
@@ -122,7 +139,7 @@ def main():
                               m.visual(vid, collect_taps=collect_taps))
 
         bench("tower_taps", tower_t, clip_vars, video_f,
-              flops=17.5e9 * BATCH * frames // 2)
+              flops=frame_flops * BATCH * (frames // alpha))
 
     if "tower_notaps" in want:
         @jax.jit
@@ -132,13 +149,13 @@ def main():
                               m.visual(vid, collect_taps=collect_taps))
 
         bench("tower_notaps", tower_n, clip_vars, video_f,
-              flops=17.5e9 * BATCH * frames // 2)
+              flops=frame_flops * BATCH * (frames // alpha))
 
     if "dist_net" in want:
-        t = frames // int(cfg.DATA.SPARSE_SAMPLE_ALPHA)
+        t = frames // alpha
         n_sel = len(cfg.VIDEO.BACKBONE.DIST.SELECTED_LAYERS)
         taps = jax.random.normal(
-            rng, (n_sel, BATCH * t, 197, 768), jnp.bfloat16)
+            rng, (n_sel, BATCH * t, tokens, width), jnp.bfloat16)
 
         @jax.jit
         def dnet(v, video, taps):
@@ -150,18 +167,17 @@ def main():
 
     if "attn_kernel" in want:
         from dist_tpu.ops.attention import fused_attention_qkv
-        bt = BATCH * frames // 2
-        qkv = jax.random.normal(rng, (bt, 197, 3 * 768), jnp.bfloat16)
-        f = jax.jit(lambda q: fused_attention_qkv(q, 12, False))
-        # x12: one tower's worth of attention layers
+        bt = BATCH * frames // alpha
+        qkv = jax.random.normal(rng, (bt, tokens, 3 * width), jnp.bfloat16)
+        f = jax.jit(lambda q: fused_attention_qkv(q, heads, False))
         bench("attn_kernel_x1", f, qkv,
-              flops=2 * 197 * 197 * 64 * 2 * bt * 12)
+              flops=4 * tokens * tokens * width * bt)
 
     if "ln_gelu" in want:
         from dist_tpu.models.base.blocks import LayerNorm, quick_gelu
         import flax.linen as nn
-        bt = BATCH * frames // 2
-        x = jax.random.normal(rng, (bt, 197, 768), jnp.bfloat16)
+        bt = BATCH * frames // alpha
+        x = jax.random.normal(rng, (bt, tokens, width), jnp.bfloat16)
         ln = LayerNorm()
         lv = ln.init(rng, x)
         f = jax.jit(lambda v, x: quick_gelu(ln.apply(v, x)))
