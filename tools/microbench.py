@@ -18,7 +18,8 @@ Usage:  PYTHONPATH=. python tools/microbench.py <subcommand> [names...]
             t2i i2t adapool)
   bwd      DiSTNetwork / stem fwd+bwd in isolation
   train    train-step component breakdown: full step vs loss fwd+bwd vs
-           optimizer-only (flagship B/16 8+16f config)
+           optimizer-only (BENCH_CFG selects the config; default the
+           flagship B/16 8+16f, also works for conv backbones + BENCH_OPTS)
 
 All timings use in-jit repetition (a lax.fori_loop over the op with a
 carry-dependent input so CSE can't collapse the reps, consuming a
@@ -39,6 +40,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPS = int(os.environ.get("REPS", "20"))
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+CFG = os.environ.get("BENCH_CFG",
+                     "configs/projects/dist/ssv2/vit-b16-8+16f.yaml")
+OPTS = os.environ.get("BENCH_OPTS", "").split()
 
 
 def _enable_cache():
@@ -465,19 +469,29 @@ def cmd_train(_names):
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cfg = load_config(
-        os.path.join(repo, "configs/projects/dist/ssv2/vit-b16-8+16f.yaml"),
-        opts=["TRAIN.BATCH_SIZE", str(BATCH)], make_output_dir=False)
+        os.path.join(repo, CFG),
+        opts=["TRAIN.BATCH_SIZE", str(BATCH)] + OPTS, make_output_dir=False)
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
-    video = jax.random.randint(rng, (BATCH, 16, 224, 224, 3), 0, 255,
+    frames = int(cfg.DATA.NUM_INPUT_FRAMES)
+    crop = int(cfg.DATA.TRAIN_CROP_SIZE or 224)
+    video = jax.random.randint(rng, (BATCH, frames, crop, crop, 3), 0, 255,
                                jnp.int32).astype(jnp.uint8)
     variables = model.init(rng, {"video": video.astype(jnp.float32)})
-    n_cls = int(cfg.VIDEO.HEAD.NUM_CLASSES)
-    tf = jax.random.normal(rng, (n_cls, 512), jnp.float32)
+    n_cls_cfg = cfg.VIDEO.HEAD.NUM_CLASSES
+    n_cls = (int(n_cls_cfg[0]) if isinstance(n_cls_cfg, (list, tuple))
+             else int(n_cls_cfg))
+    from dist_tpu.models.clip.model import ARCHITECTURES
+    arch = ARCHITECTURES.get(cfg.VIDEO.BACKBONE.META_ARCH_NAME)
+    tf = jax.random.normal(rng, (n_cls, arch.embed_dim if arch else 512),
+                           jnp.float32)
     tx, lr_fn = construct_optimizer(cfg, variables, steps_per_epoch=100)
     state = create_train_state(variables, tx)
     labels = jnp.zeros((BATCH,), jnp.int32)
     batch = {"video": video, "labels": labels, "text_features": tf}
+    if isinstance(n_cls_cfg, (list, tuple)):
+        batch["label_verb"] = labels
+        batch["label_noun"] = labels
     step_fn = make_train_step(model, cfg, tx, lr_fn)
 
     @jax.jit
@@ -490,12 +504,24 @@ def cmd_train(_names):
 
     _time_reps("train_step_full", full_reps, state, outer=3)
 
+    sup = ({"verb_class": labels, "noun_class": labels}
+           if isinstance(n_cls_cfg, (list, tuple)) else labels)
+
     def loss_fn(variables, v):
         preds, logits = model.apply(
             variables, {"video": _prep_video(cfg, v), "text_features": tf},
             train=True, rngs={"dropout": jax.random.PRNGKey(0)})
-        loss, _ = calculate_loss(cfg, preds, logits, {"supervised": labels})
+        loss, _ = calculate_loss(cfg, preds, logits, {"supervised": sup})
         return loss
+
+    @jax.jit
+    def fwd_reps(variables):
+        def body(i, acc):
+            l = loss_fn(variables, video + (acc * 0).astype(video.dtype))
+            return acc + l
+        return jax.lax.fori_loop(0, REPS, body, jnp.zeros((), jnp.float32))
+
+    _time_reps("loss_fwd_only", fwd_reps, variables, outer=3)
 
     grad_fn = jax.grad(loss_fn)
 
