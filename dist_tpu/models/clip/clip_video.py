@@ -58,12 +58,15 @@ class CLIPDiSTModel(nn.Module):
 
     remat: bool = False
     ladder_unroll: int = -1  # -1 = full unroll (see DiSTNetwork.unroll)
+    pipe_stages: int = 1        # TPU.MESH.PIPE (parallel/pipeline.py)
+    pipe_microbatches: int = 0  # TPU.PIPE_MICROBATCHES
 
     def setup(self):
         self.visual = VisionTransformer(
             arch=self.arch, num_frames=self.num_frames,
             sparse_alpha=self.sparse_alpha, dtype=self.dtype,
-            remat=self.remat, name="visual",
+            remat=self.remat, pipe_stages=self.pipe_stages,
+            pipe_microbatches=self.pipe_microbatches, name="visual",
         )
         self.text = TextTransformer(arch=self.arch, dtype=self.dtype, name="text")
         if self.dist is not None:
@@ -161,11 +164,15 @@ def clip_dist_from_cfg(cfg, arch: Optional[CLIPArchitecture] = None):
     if cfg.VIDEO.BACKBONE.get("DIST") and cfg.VIDEO.BACKBONE.DIST.ENABLE:
         dist = DiSTConfig.from_cfg(cfg)
     zeroshot = bool(cfg.TEST.get("ZEROSHOT") and cfg.TEST.ZEROSHOT.ENABLE)
+    tpu = cfg.get("TPU") or {}
+    mesh_cfg = tpu.get("MESH") or {}
     return CLIPDiSTModel(
         prediction_fusion=zeroshot,
         remat=bool(cfg.get("TPU") and cfg.TPU.get("REMAT", False)),
         ladder_unroll=int((cfg.get("TPU") or {}).get("LADDER_UNROLL", -1)
                           if cfg.get("TPU") else -1),
+        pipe_stages=int(mesh_cfg.get("PIPE", 1) or 1),
+        pipe_microbatches=int(tpu.get("PIPE_MICROBATCHES", 0) or 0),
         arch=arch,
         dist=dist,
         num_frames=cfg.DATA.NUM_INPUT_FRAMES,

@@ -121,12 +121,41 @@ class _ScanBlock(nn.Module):
 
 
 def transformer_stack(x, layers, num_heads, causal, dtype, name="resblocks",
-                      collect_taps=True, remat=False):
+                      collect_taps=True, remat=False, parent=None,
+                      pipe_stages=1, pipe_microbatches=0):
     """Scanned transformer; returns (final_x, taps[(layers, B, L, D)]).
 
     ``remat=True`` wraps the scan body in ``nn.remat`` so only the per-layer
     inputs are kept alive for the backward (jax.checkpoint — the
-    FLOPs-for-HBM trade for 32+64f ViT-L training; SURVEY section 7.3)."""
+    FLOPs-for-HBM trade for 32+64f ViT-L training; SURVEY section 7.3).
+
+    ``pipe_stages > 1`` (with ``parent`` = the calling module): run the SAME
+    stacked params through the GPipe schedule of
+    ``parallel/pipeline.py`` instead of the sequential scan — the layer axis
+    shards over the mesh's ``pipe`` axis. Init still traces the scan (it
+    creates the params); only apply takes the pipelined path, so checkpoints
+    and param trees are identical either way."""
+    if (pipe_stages > 1 and parent is not None
+            and not parent.is_initializing()):
+        from dist_tpu.parallel.pipeline import current_mesh, pipeline_stack
+
+        mesh = current_mesh()
+        assert mesh is not None and int(
+            mesh.shape.get("pipe", 1)) == pipe_stages, (
+            f"TPU.MESH.PIPE={pipe_stages} needs the jit entered under "
+            f"`with mesh:` whose pipe axis is {pipe_stages} "
+            f"(got {None if mesh is None else dict(mesh.shape)})")
+        stacked = parent.scope.get_variable("params", name)
+        block = ResidualAttentionBlock(num_heads, causal=causal, dtype=dtype)
+
+        def body(p, c):
+            return block.apply({"params": p["block"]}, c)
+
+        if remat:
+            body = jax.checkpoint(body)
+        return pipeline_stack(body, stacked, x, mesh=mesh,
+                              n_microbatches=pipe_microbatches,
+                              collect_taps=collect_taps)
     body = nn.remat(_ScanBlock) if remat else _ScanBlock
     Blocks = nn.scan(
         body,
@@ -158,6 +187,8 @@ class VisionTransformer(nn.Module):
     sparse_alpha: int = 1
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    pipe_stages: int = 1        # TPU.MESH.PIPE: pipeline the layer axis
+    pipe_microbatches: int = 0  # TPU.PIPE_MICROBATCHES (0 = one per stage)
 
     @nn.compact
     def __call__(self, frames, collect_taps=True):
@@ -199,7 +230,8 @@ class VisionTransformer(nn.Module):
         x, taps = transformer_stack(
             x, a.vision_layers, a.vision_heads, causal=False,
             dtype=self.dtype, name="resblocks", collect_taps=collect_taps,
-            remat=self.remat,
+            remat=self.remat, parent=self, pipe_stages=self.pipe_stages,
+            pipe_microbatches=self.pipe_microbatches,
         )
 
         x_logits = LayerNorm(name="ln_post")(x[:, 0, :])

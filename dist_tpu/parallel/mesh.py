@@ -17,42 +17,49 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+PIPE_AXIS = "pipe"
 MODEL_AXIS = "model"
 
 
 def _mesh_shape_cfg(cfg):
-    """(data, model) from TPU.MESH; data -1/None = all remaining."""
-    model, data = 1, -1
+    """(data, pipe, model) from TPU.MESH; data -1/None = all remaining."""
+    model, pipe, data = 1, 1, -1
     if cfg is not None and cfg.get("TPU") and cfg.TPU.get("MESH"):
         model = int(cfg.TPU.MESH.get("MODEL", 1) or 1)
+        pipe = int(cfg.TPU.MESH.get("PIPE", 1) or 1)
         data = int(cfg.TPU.MESH.get("DATA", -1) or -1)
-    return data, model
+    return data, pipe, model
 
 
 def config_data_axis_size(cfg, n_devices=None):
     """Size of the data mesh axis implied by the config (the global-batch
     multiplier: global batch = TRAIN.BATCH_SIZE x this)."""
     n = n_devices if n_devices is not None else jax.device_count()
-    data, model = _mesh_shape_cfg(cfg)
-    return data if data > 0 else max(n // model, 1)
+    data, pipe, model = _mesh_shape_cfg(cfg)
+    return data if data > 0 else max(n // (model * pipe), 1)
 
 
 def build_mesh(cfg=None, devices=None) -> Mesh:
-    """Mesh from config: TPU.MESH.DATA (-1 = all remaining) x TPU.MESH.MODEL."""
+    """Mesh from config: TPU.MESH.DATA (-1 = all remaining) x
+    TPU.MESH.PIPE x TPU.MESH.MODEL."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
-    data, model = _mesh_shape_cfg(cfg)
-    assert n % model == 0, f"{n} devices not divisible by model={model}"
+    data, pipe, model = _mesh_shape_cfg(cfg)
+    assert not (pipe > 1 and model > 1), (
+        "pipe x tensor parallelism is not composed (the pipeline body runs "
+        "under manual shard_map, outside GSPMD's tp propagation); pick one")
+    assert n % (model * pipe) == 0, (
+        f"{n} devices not divisible by pipe={pipe} x model={model}")
     if data > 0:
         # an explicit data size must tile the device count exactly — a
-        # mismatched {data, model} pair is a config error, not a hint
-        assert data * model == n, (
-            f"TPU.MESH data={data} x model={model} != {n} devices; set "
-            "DATA to -1 to use all remaining devices")
+        # mismatched {data, pipe, model} tuple is a config error, not a hint
+        assert data * pipe * model == n, (
+            f"TPU.MESH data={data} x pipe={pipe} x model={model} != {n} "
+            "devices; set DATA to -1 to use all remaining devices")
     else:
-        data = n // model
-    dev_array = np.asarray(devices).reshape(data, model)
-    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+        data = n // (model * pipe)
+    dev_array = np.asarray(devices).reshape(data, pipe, model)
+    return Mesh(dev_array, (DATA_AXIS, PIPE_AXIS, MODEL_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -139,23 +146,56 @@ def _tp_spec_for(path_str, ndim):
     return P()
 
 
-def shard_params(mesh, tree):
-    """Place a variables tree with tensor-parallel shardings on the model
-    axis (falls back to pure replication when the model axis is 1)."""
-    if mesh.shape.get(MODEL_AXIS, 1) == 1:
+# leaves smaller than this stay replicated under FSDP: sharding a LayerNorm
+# vector saves nothing and costs an all-gather dispatch
+_FSDP_MIN_SIZE = 8192
+
+
+def _fsdp_axis(shape, spec, dp):
+    """Largest dim divisible by the data-axis size and not already
+    tensor-sharded; None if nothing qualifies."""
+    best = None
+    for ax, d in enumerate(shape):
+        if spec[ax] is None and d % dp == 0 and d >= dp:
+            if best is None or d > shape[best]:
+                best = ax
+    return best
+
+
+def shard_params(mesh, tree, fsdp=False):
+    """Place a variables/state tree on the mesh.
+
+    - tensor parallel (model axis > 1): Megatron column/row specs,
+    - ``fsdp``: ZeRO-3-style — every large leaf is additionally sharded
+      over the DATA axis on its largest free dim. XLA all-gathers params
+      at use and reduce-scatters gradients (GSPMD inserts both), so
+      params + optimizer moments take 1/dp of HBM per chip; the optimizer
+      update itself runs sharded (optax transforms are elementwise).
+      Reference counterpart: none (DDP replicates); this is the TPU-native
+      scaling lever for models whose state exceeds one chip.
+    """
+    tp = mesh.shape.get(MODEL_AXIS, 1) > 1
+    dp = mesh.shape.get(DATA_AXIS, 1)
+    if not tp and not (fsdp and dp > 1):
         return replicate(mesh, tree)
 
     def place(path, leaf):
         if not hasattr(leaf, "ndim") or leaf.ndim == 0:
             return jax.device_put(leaf, replicated(mesh))
         name = "/".join(str(getattr(p, "key", p)) for p in path)
-        spec = _tp_spec_for(name, leaf.ndim)
-        # shard only if the dim divides evenly
-        for ax, s in enumerate(spec):
-            if s is not None and leaf.shape[ax] % mesh.shape[MODEL_AXIS]:
-                spec = P()
-                break
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+        spec = [None] * leaf.ndim
+        if tp:
+            spec = list(_tp_spec_for(name, leaf.ndim))
+            # shard only if the dim divides evenly
+            for ax, s in enumerate(spec):
+                if s is not None and leaf.shape[ax] % mesh.shape[MODEL_AXIS]:
+                    spec = [None] * leaf.ndim
+                    break
+        if fsdp and dp > 1 and leaf.size >= _FSDP_MIN_SIZE:
+            ax = _fsdp_axis(leaf.shape, spec, dp)
+            if ax is not None:
+                spec[ax] = DATA_AXIS
+        return jax.device_put(leaf, NamedSharding(mesh, P(*spec)))
 
     return jax.tree_util.tree_map_with_path(place, tree)
 

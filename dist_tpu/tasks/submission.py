@@ -52,7 +52,8 @@ def submission_test(cfg):
         video_preds = np.zeros((num_videos, int(nc)), np.float64)
     seen = set()  # dedup padded duplicate views (loader cycles indices)
     with mesh:
-        state = shard_params(mesh, state)
+        state = shard_params(mesh, state,
+                             fsdp=bool(cfg.TPU.get("FSDP", False)))
         eval_step = jax.jit(make_eval_step(model, cfg))
         for batch in loader:
             device_batch = shard_batch(mesh, {

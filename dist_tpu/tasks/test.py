@@ -73,7 +73,8 @@ def test(cfg):
         logger.info("VISUALIZATION.FEATURE_MAPS written for batch 0")
 
     with mesh:
-        state = shard_params(mesh, state)
+        state = shard_params(mesh, state,
+                             fsdp=bool(cfg.TPU.get("FSDP", False)))
         eval_step = jax.jit(make_eval_step(model, cfg))
         perform_test(cfg, mesh, state, eval_step, loader, meter, text_features)
 

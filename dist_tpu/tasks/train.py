@@ -70,7 +70,8 @@ def train(cfg):
                                    mesh)
 
     with mesh:
-        state = shard_params(mesh, state)
+        state = shard_params(mesh, state,
+                             fsdp=bool(cfg.TPU.get("FSDP", False)))
         train_step = jax.jit(make_train_step(model, cfg, tx, lr_fn, mesh=mesh),
                              donate_argnums=(0,) if cfg.TPU.DONATE_STATE else ())
         eval_step = jax.jit(make_eval_step(model, cfg))

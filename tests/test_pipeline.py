@@ -1,0 +1,224 @@
+"""Pipeline parallelism (parallel/pipeline.py) + FSDP sharding
+(parallel/mesh.py::shard_params fsdp=True).
+
+The pipelined stack must be numerically equivalent (up to fp32
+reassociation) to the sequential scan — forward, taps, and gradients —
+and the model-level wiring (TPU.MESH.PIPE) must reproduce the
+unpipelined model's predictions exactly at the preds level.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from dist_tpu.parallel.mesh import (
+    DATA_AXIS, MODEL_AXIS, PIPE_AXIS, build_mesh, shard_batch, shard_params)
+from dist_tpu.parallel.pipeline import pipeline_stack
+
+
+def _pp_mesh(dp, pp):
+    devs = np.array(jax.devices()[: dp * pp]).reshape(dp, pp, 1)
+    return Mesh(devs, (DATA_AXIS, PIPE_AXIS, MODEL_AXIS))
+
+
+def _toy():
+    L, N, T, D = 8, 8, 5, 16
+    k = jax.random.PRNGKey(0)
+    params = {"w": jax.random.normal(k, (L, D, D)) * 0.2,
+              "b": jax.random.normal(jax.random.fold_in(k, 1), (L, D)) * 0.1}
+    x = jax.random.normal(jax.random.PRNGKey(1), (N, T, D))
+
+    def body(p, c):
+        return jnp.tanh(c @ p["w"] + p["b"]) + c
+
+    def seq(params, x):
+        def layer(c, p):
+            return body(p, c), body(p, c)
+
+        return jax.lax.scan(layer, x, params)
+
+    return params, x, body, seq
+
+
+@pytest.mark.parametrize("dp,pp,mb", [(1, 4, 0), (2, 2, 4), (1, 8, 8)])
+def test_pipeline_matches_scan(dp, pp, mb):
+    params, x, body, seq = _toy()
+    y_ref, taps_ref = jax.jit(seq)(params, x)
+    mesh = _pp_mesh(dp, pp)
+    with mesh:
+        y, taps = jax.jit(lambda p, x: pipeline_stack(
+            body, p, x, mesh=mesh, n_microbatches=mb))(params, x)
+    np.testing.assert_allclose(y, y_ref, rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(taps, taps_ref, rtol=2e-5, atol=1e-5)
+
+
+def test_pipeline_no_taps():
+    params, x, body, seq = _toy()
+    y_ref, _ = jax.jit(seq)(params, x)
+    mesh = _pp_mesh(2, 4)
+    with mesh:
+        y, taps = jax.jit(lambda p, x: pipeline_stack(
+            body, p, x, mesh=mesh, collect_taps=False))(params, x)
+    assert taps is None
+    np.testing.assert_allclose(y, y_ref, rtol=2e-5, atol=1e-5)
+
+
+def test_pipeline_grads_match_scan():
+    params, x, body, seq = _toy()
+
+    def loss_seq(p, x):
+        y, t = seq(p, x)
+        return jnp.sum(y ** 2) + jnp.sum(t ** 2)
+
+    g_ref = jax.jit(jax.grad(loss_seq))(params, x)
+    mesh = _pp_mesh(1, 4)
+    with mesh:
+        def loss_pp(p, x):
+            y, t = pipeline_stack(body, p, x, mesh=mesh, n_microbatches=4)
+            return jnp.sum(y ** 2) + jnp.sum(t ** 2)
+
+        g = jax.jit(jax.grad(loss_pp))(params, x)
+    # microbatching reassociates the fp32 grad sums: compare at rtol
+    np.testing.assert_allclose(g["w"], g_ref["w"], rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(g["b"], g_ref["b"], rtol=1e-3, atol=1e-3)
+
+
+def _tiny_cfg(repo_root, opts=()):
+    import os
+
+    from dist_tpu.config import load_config
+    return load_config(
+        os.path.join(repo_root, "configs/projects/dist/test/tiny_synth.yaml"),
+        opts=list(opts), make_output_dir=False)
+
+
+def _model_and_inputs(cfg, batch=8):
+    from dist_tpu.models.base.models import build_model
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    video = jax.random.randint(rng, (batch, 4, 64, 64, 3), 0, 255,
+                               jnp.int32).astype(jnp.float32)
+    variables = model.init(rng, {"video": video})
+    text = jax.random.normal(rng, (12, 32), jnp.float32)
+    return model, variables, video, text
+
+
+@pytest.mark.slow
+def test_model_pipe_matches_sequential(repo_root):
+    """TPU.MESH.PIPE=2 on the tiny CLIP-DiST model == the plain model.
+
+    Both run under the SAME mesh with the same data sharding: recompiling
+    the (identical) ladder for different per-device shapes alone moves
+    fp32 outputs by ~1e-2 on this CPU backend, so the unsharded model is
+    not the right reference — the pipe=1 sharded one is."""
+    cfg0 = _tiny_cfg(repo_root)
+    cfg2 = _tiny_cfg(repo_root, ["TPU.MESH.PIPE", "2",
+                                 "TPU.PIPE_MICROBATCHES", "4"])
+    model0, variables, video, text = _model_and_inputs(cfg0)
+    model2 = __import__("dist_tpu.models.base.models",
+                        fromlist=["build_model"]).build_model(cfg2)
+
+    def run(model, v, vid, text):
+        return model.apply(v, {"video": vid, "text_features": text},
+                           train=False)[0]
+
+    mesh = build_mesh(cfg2, devices=jax.devices())
+    assert dict(mesh.shape) == {"data": 4, "pipe": 2, "model": 1}
+    with mesh:
+        vid = shard_batch(mesh, {"video": video})["video"]
+        ref = jax.jit(lambda v, x, t: run(model0, v, x, t))(
+            variables, vid, text)
+        out = jax.jit(lambda v, x, t: run(model2, v, x, t))(
+            variables, vid, text)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_train_step_under_pipe_mesh(repo_root):
+    """One full train step on a dp=4 x pipe=2 mesh: runs, finite loss, and
+    matches the dp-only step's loss (the tower is frozen; grads flow only
+    through the ladder, whose inputs are the pipelined taps)."""
+    from dist_tpu.optim.optimizer import construct_optimizer
+    from dist_tpu.tasks.state import create_train_state, make_train_step
+
+    losses = {}
+    for pipe in (1, 2):
+        cfg = _tiny_cfg(repo_root, ["TPU.MESH.PIPE", str(pipe),
+                                    "TRAIN.BATCH_SIZE", "8"])
+        model, variables, video, text = _model_and_inputs(cfg)
+        tx, lr_fn = construct_optimizer(cfg, variables, steps_per_epoch=10)
+        state = create_train_state(variables, tx)
+        labels = jnp.arange(8, dtype=jnp.int32) % 12
+        mesh = build_mesh(cfg, devices=jax.devices())
+        with mesh:
+            state = shard_params(mesh, state)
+            batch = shard_batch(mesh, {"video": video.astype(jnp.uint8),
+                                       "labels": labels})
+            batch["text_features"] = text
+            step = jax.jit(make_train_step(model, cfg, tx, lr_fn, mesh=mesh))
+            new_state, metrics = step(state, batch, jax.random.PRNGKey(7))
+            losses[pipe] = float(metrics["loss"])
+        assert np.isfinite(losses[pipe])
+    assert abs(losses[1] - losses[2]) < 1e-3, losses
+
+
+@pytest.mark.slow
+def test_fsdp_shards_and_matches(repo_root):
+    """FSDP=true: large leaves (and their Adam moments) are sharded over the
+    data axis, and one train step produces the same result as replicated."""
+    from dist_tpu.optim.optimizer import construct_optimizer
+    from dist_tpu.tasks.state import create_train_state, make_train_step
+
+    cfg = _tiny_cfg(repo_root, ["TRAIN.BATCH_SIZE", "8"])
+    model, variables, video, text = _model_and_inputs(cfg)
+    tx, lr_fn = construct_optimizer(cfg, variables, steps_per_epoch=10)
+    labels = jnp.arange(8, dtype=jnp.int32) % 12
+    mesh = build_mesh(cfg, devices=jax.devices())  # dp=8
+
+    results = {}
+    for fsdp in (False, True):
+        state = create_train_state(variables, tx)
+        with mesh:
+            state = shard_params(mesh, state, fsdp=fsdp)
+            if fsdp:
+                sharded = [
+                    leaf for leaf in jax.tree_util.tree_leaves(state)
+                    if hasattr(leaf, "sharding")
+                    and leaf.sharding.spec != ()
+                    and any(s is not None for s in leaf.sharding.spec)
+                ]
+                assert sharded, "FSDP placed no sharded leaves"
+                # the big ones must actually be distributed: local shard
+                # bytes < global bytes
+                big = max(sharded, key=lambda a: a.size)
+                local = big.addressable_shards[0].data.size
+                assert local * 8 == big.size, (big.shape, local)
+            batch = shard_batch(mesh, {"video": video.astype(jnp.uint8),
+                                       "labels": labels})
+            batch["text_features"] = text
+            step = jax.jit(make_train_step(model, cfg, tx, lr_fn, mesh=mesh))
+            new_state, metrics = step(state, batch, jax.random.PRNGKey(7))
+            results[fsdp] = (float(metrics["loss"]),
+                             jax.device_get(jax.tree_util.tree_leaves(
+                                 new_state.variables)[0]))
+    # partitioning the params changes how XLA partitions (and hence
+    # reassociates) every dot: measured fp32 drift on this CPU backend is
+    # ~6e-3 on a ~2.5 CE loss — the exactness claim lives in the primitive
+    # tests; this is an integration equivalence check
+    assert abs(results[False][0] - results[True][0]) < 2e-2, results
+    np.testing.assert_allclose(results[False][1], results[True][1],
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_build_mesh_pipe_axis(repo_root):
+    cfg = _tiny_cfg(repo_root, ["TPU.MESH.PIPE", "4"])
+    mesh = build_mesh(cfg, devices=jax.devices())
+    assert dict(mesh.shape) == {"data": 2, "pipe": 4, "model": 1}
+    with pytest.raises(AssertionError):
+        build_mesh(_tiny_cfg(repo_root, ["TPU.MESH.PIPE", "2",
+                                         "TPU.MESH.MODEL", "2"]),
+                   devices=jax.devices())
