@@ -1,0 +1,112 @@
+"""Cross-request micro-batching.
+
+The TPU's throughput comes from batched MXU work: serving one clip at a
+time wastes (batch-1)/batch of every step. The batcher glues concurrent
+requests into device batches under a latency deadline:
+
+- the dispatch loop blocks for the first request, then drains the queue
+  until ``max_batch`` clips are in hand OR ``max_delay_ms`` has elapsed
+  since the first one — the standard throughput/latency dial;
+- ONE device call serves the whole batch; per-request results resolve
+  through ``concurrent.futures.Future``s, so any number of server threads
+  can wait without touching the device;
+- the device is only ever driven from the single dispatch thread (JAX
+  dispatch is not thread-safe-by-contract; this also serializes compiles).
+
+No torch/TF-serving dependency — ~100 lines of stdlib.
+"""
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+
+import numpy as np
+
+
+class MicroBatcher:
+    """predict_fn: ``uint8 (n, ...) -> scores (n, C)`` (e.g.
+    ``InferenceEngine.predict``). ``submit`` one clip ``(...)``, get a
+    Future of its ``(C,)`` score row."""
+
+    def __init__(self, predict_fn, max_batch=8, max_delay_ms=10.0):
+        self._predict = predict_fn
+        self.max_batch = int(max_batch)
+        self.max_delay = float(max_delay_ms) / 1000.0
+        self._q = queue.Queue()
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+        self.stats = {"requests": 0, "batches": 0, "batched_clips": 0,
+                      "errors": 0, "latency_ms_sum": 0.0,
+                      "latency_ms_max": 0.0}
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="microbatcher")
+        self._thread.start()
+
+    def submit(self, clip) -> Future:
+        fut = Future()
+        self._q.put((np.asarray(clip), fut, time.perf_counter()))
+        return fut
+
+    def _gather(self):
+        """Block for one request, then fill the batch until full or the
+        deadline from the FIRST request passes."""
+        try:
+            first = self._q.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        items = [first]
+        deadline = time.perf_counter() + self.max_delay
+        while len(items) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                items.append(self._q.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return items
+
+    def _loop(self):
+        while not self._stop.is_set():
+            items = self._gather()
+            if not items:
+                continue
+            clips = np.stack([c for c, _, _ in items])
+            t0 = time.perf_counter()
+            try:
+                scores = self._predict(clips)
+            except Exception as e:  # propagate to every waiter
+                with self._lock:
+                    self.stats["errors"] += len(items)
+                for _, fut, _ in items:
+                    if not fut.cancelled():
+                        fut.set_exception(e)
+                continue
+            now = time.perf_counter()
+            with self._lock:
+                self.stats["requests"] += len(items)
+                self.stats["batches"] += 1
+                self.stats["batched_clips"] += len(items)
+                for _, _, t_in in items:
+                    ms = (now - t_in) * 1000.0
+                    self.stats["latency_ms_sum"] += ms
+                    self.stats["latency_ms_max"] = max(
+                        self.stats["latency_ms_max"], ms)
+            _ = t0
+            for i, (_, fut, _) in enumerate(items):
+                if not fut.cancelled():
+                    fut.set_result(scores[i])
+
+    def snapshot(self):
+        with self._lock:
+            s = dict(self.stats)
+        s["mean_batch"] = (s["batched_clips"] / s["batches"]
+                           if s["batches"] else 0.0)
+        s["mean_latency_ms"] = (s["latency_ms_sum"] / s["requests"]
+                                if s["requests"] else 0.0)
+        return s
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5.0)

@@ -1,0 +1,132 @@
+"""Inference engine: one config -> one compiled, fixed-shape predictor.
+
+TPU serving rules encoded here:
+
+- **Static shapes, one compile.** The engine always runs the jitted eval
+  step at a fixed ``batch_size`` (requests are padded up); XLA compiles
+  exactly once, at :meth:`warmup`, never in the request path.
+- **uint8 on the wire.** Clips cross host->device as uint8 (4x less PCIe
+  than fp32); normalization happens inside the jit
+  (``tasks/state.py::_prep_video``).
+- **Async dispatch.** ``predict`` enqueues the device computation and only
+  blocks on the result readback, so consecutive batches overlap host work
+  with device execution.
+
+Checkpoint resolution and the label-text classifier setup follow the test
+task (reference ``runs/test.py:181-250``); with no checkpoint configured
+the engine serves the randomly-initialized model (useful for load tests
+and smoke tests only).
+"""
+
+import numpy as np
+
+import jax
+
+from dist_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+class InferenceEngine:
+    """Build once, then ``predict(clips) -> scores`` forever.
+
+    clips: uint8 ``(n, T, S, S, 3)`` with ``n <= batch_size``,
+    ``T = DATA.NUM_INPUT_FRAMES``, ``S = DATA.TEST_CROP_SIZE``.
+    Returns per-clip class scores ``(n, num_classes)`` (softmax if the
+    head's eval activation is softmax, like the test task).
+    """
+
+    def __init__(self, cfg, batch_size=8):
+        from dist_tpu.models.base.models import build_model
+        from dist_tpu.parallel.mesh import build_mesh
+        from dist_tpu.tasks.state import make_eval_step
+        from dist_tpu.tasks.test import _init_test_state
+        from dist_tpu.utils import checkpoint as cu
+
+        assert not isinstance(cfg.VIDEO.HEAD.NUM_CLASSES, (list, tuple)), (
+            "the serving engine exposes single-label heads; EPIC dual-head "
+            "models serve through the submission task")
+        self.cfg = cfg
+        self.batch_size = int(batch_size)
+        self.num_frames = int(cfg.DATA.NUM_INPUT_FRAMES)
+        self.crop = int(cfg.DATA.TEST_CROP_SIZE or 224)
+        self.num_classes = int(cfg.VIDEO.HEAD.NUM_CLASSES)
+
+        self.model = build_model(cfg)
+        self.mesh = build_mesh(cfg)
+        state = _init_test_state(cfg, self.model, {"video": np.zeros(
+            (1, self.num_frames, self.crop, self.crop, 3), np.float32)})
+        self.state = cu.load_test_checkpoint(cfg, state)
+        self.label_names, self.text_features = self._label_setup()
+        self._step = jax.jit(make_eval_step(self.model, cfg))
+        self._compiled = False
+
+    def _label_setup(self):
+        """Label names + cached text features, exactly as the test task
+        builds them (prompted label texts -> frozen text tower, once)."""
+        import os
+
+        from dist_tpu.data.base_dataset import load_label_texts
+
+        cfg = self.cfg
+        names, tokens = None, None
+        anno = cfg.DATA.ANNO_DIR or ""
+        if anno and os.path.exists(os.path.join(anno, "labels.json")):
+            names, tokens = load_label_texts(cfg, anno)
+        elif "Text" in str(cfg.VIDEO.HEAD.NAME):
+            from dist_tpu.data.tokenizer import tokenize
+            tokens = tokenize([f"a video of class {i}"
+                               for i in range(self.num_classes)])
+        if tokens is None:
+            return names, None
+        from dist_tpu.tasks.state import compute_text_features
+        return names, compute_text_features(
+            self.model, self.state.variables, tokens, mesh=self.mesh)
+
+    def warmup(self):
+        """Compile the step at the serving shape (do this BEFORE accepting
+        traffic: first-compile is seconds-to-minutes on TPU)."""
+        dummy = np.zeros(
+            (self.batch_size, self.num_frames, self.crop, self.crop, 3),
+            np.uint8)
+        self.predict(dummy)
+        self._compiled = True
+        logger.info("serving warmup done: batch=%d frames=%d crop=%d "
+                    "classes=%d", self.batch_size, self.num_frames,
+                    self.crop, self.num_classes)
+
+    def predict(self, clips):
+        """clips uint8 (n<=B, T, S, S, 3) -> scores (n, num_classes)."""
+        from dist_tpu.parallel.mesh import shard_batch
+
+        clips = np.asarray(clips)
+        assert clips.ndim == 5 and clips.dtype == np.uint8, (
+            f"expected uint8 (n,T,S,S,3), got {clips.dtype} {clips.shape}")
+        n = clips.shape[0]
+        assert n <= self.batch_size, (n, self.batch_size)
+        expect = (self.num_frames, self.crop, self.crop, 3)
+        assert clips.shape[1:] == expect, (clips.shape, expect)
+        if n < self.batch_size:  # pad to the compiled static shape
+            pad = np.zeros((self.batch_size - n,) + expect, np.uint8)
+            clips = np.concatenate([clips, pad], axis=0)
+
+        batch = {"video": clips,
+                 "labels": np.zeros((self.batch_size,), np.int64)}
+        with self.mesh:
+            if self.batch_size % self.mesh.devices.size == 0:
+                batch = shard_batch(self.mesh, batch)
+            if self.text_features is not None:
+                batch["text_features"] = self.text_features
+            preds = self._step(self.state, batch)["preds"]
+            return np.asarray(jax.device_get(preds))[:n]
+
+    def topk(self, scores, k=5):
+        """[(class_index, label_or_None, score), ...] rows per clip."""
+        out = []
+        for row in np.asarray(scores):
+            idx = np.argsort(row)[::-1][:k]
+            out.append([(int(i),
+                         self.label_names[int(i)] if self.label_names
+                         else None,
+                         float(row[int(i)])) for i in idx])
+        return out
