@@ -166,6 +166,10 @@ def shard_params(mesh, tree, fsdp=False):
     """Place a variables/state tree on the mesh.
 
     - tensor parallel (model axis > 1): Megatron column/row specs,
+    - pipeline (pipe axis > 1): the pipelined tower's stacked per-layer
+      params shard on their LAYER axis over ``pipe`` — the same placement
+      ``parallel/pipeline.py``'s shard_map consumes, so each stage stores
+      only its own L/S layers (no per-step reshard, 1/S of tower HBM),
     - ``fsdp``: ZeRO-3-style — every large leaf is additionally sharded
       over the DATA axis on its largest free dim. XLA all-gathers params
       at use and reduce-scatters gradients (GSPMD inserts both), so
@@ -176,7 +180,8 @@ def shard_params(mesh, tree, fsdp=False):
     """
     tp = mesh.shape.get(MODEL_AXIS, 1) > 1
     dp = mesh.shape.get(DATA_AXIS, 1)
-    if not tp and not (fsdp and dp > 1):
+    pipe = mesh.shape.get(PIPE_AXIS, 1)
+    if not tp and not (fsdp and dp > 1) and pipe == 1:
         return replicate(mesh, tree)
 
     def place(path, leaf):
@@ -184,6 +189,9 @@ def shard_params(mesh, tree, fsdp=False):
             return jax.device_put(leaf, replicated(mesh))
         name = "/".join(str(getattr(p, "key", p)) for p in path)
         spec = [None] * leaf.ndim
+        if (pipe > 1 and "visual/resblocks" in name
+                and leaf.shape[0] % pipe == 0):
+            spec[0] = PIPE_AXIS
         if tp:
             spec = list(_tp_spec_for(name, leaf.ndim))
             # shard only if the dim divides evenly

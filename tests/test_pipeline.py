@@ -214,6 +214,57 @@ def test_fsdp_shards_and_matches(repo_root):
                                rtol=1e-3, atol=1e-5)
 
 
+def test_shard_params_places_tower_on_pipe_axis(repo_root):
+    """Under a pipe mesh the visual tower's stacked params live
+    layer-sharded over 'pipe' — the exact placement the pipeline's
+    shard_map consumes (no per-step reshard, 1/S of tower HBM/stage)."""
+    cfg = _tiny_cfg(repo_root, ["TPU.MESH.PIPE", "2"])
+    model, variables, video, text = _model_and_inputs(cfg, batch=2)
+    mesh = build_mesh(cfg, devices=jax.devices())
+    placed = shard_params(mesh, variables)
+    flat = jax.tree_util.tree_leaves_with_path(placed)
+    vis, other = [], []
+    for path, leaf in flat:
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        (vis if "visual/resblocks" in name else other).append(
+            (name, leaf.sharding.spec))
+    assert vis and all(spec[0] == PIPE_AXIS for _, spec in vis), vis[:3]
+    assert all(all(s is None for s in spec) for _, spec in other), [
+        x for x in other if any(s is not None for s in x[1])][:3]
+
+
+@pytest.mark.slow
+def test_fsdp_checkpoint_roundtrip(repo_root, tmp_path):
+    """The production cycle with FSDP on: collective orbax save of the
+    data-axis-sharded state -> fresh-state restore (host side, as
+    tasks/train.py does before shard_params) -> values identical."""
+    from dist_tpu.optim.optimizer import construct_optimizer
+    from dist_tpu.tasks.state import create_train_state
+    from dist_tpu.utils import checkpoint as cu
+
+    cfg = _tiny_cfg(repo_root, ["TRAIN.BATCH_SIZE", "8",
+                                "TRAIN.AUTO_RESUME", "true"])
+    cfg.OUTPUT_DIR = str(tmp_path)
+    model, variables, video, text = _model_and_inputs(cfg)
+    tx, _ = construct_optimizer(cfg, variables, steps_per_epoch=10)
+    state = create_train_state(variables, tx)
+    mesh = build_mesh(cfg, devices=jax.devices())
+    with mesh:
+        sharded = shard_params(mesh, state, fsdp=True)
+        cu.save_checkpoint(cfg, sharded, cur_epoch=0)
+
+    fresh = create_train_state(
+        jax.tree_util.tree_map(jnp.zeros_like, variables), tx)
+    restored, start_epoch = cu.load_train_checkpoint(cfg, fresh)
+    assert start_epoch == 1
+    for a, b in zip(jax.tree_util.tree_leaves(restored.variables),
+                    jax.tree_util.tree_leaves(state.variables)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(restored.opt_state),
+                    jax.tree_util.tree_leaves(state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_build_mesh_pipe_axis(repo_root):
     cfg = _tiny_cfg(repo_root, ["TPU.MESH.PIPE", "4"])
     mesh = build_mesh(cfg, devices=jax.devices())
