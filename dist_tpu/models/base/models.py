@@ -294,6 +294,12 @@ def build_model(cfg, clip_arch=None) -> VideoModel:
     import dist_tpu.models  # noqa: F401  (registers all backbones/branches)
 
     meta_arch = cfg.VIDEO.BACKBONE.META_ARCH
+    tpu = cfg.get("TPU") or {}
+    pipe = int((tpu.get("MESH") or {}).get("PIPE", 1) or 1)
+    assert pipe == 1 or meta_arch == "ClipVisionTextTransformer", (
+        f"TPU.MESH.PIPE={pipe} is only wired into the CLIP tower "
+        f"(parallel/pipeline.py); {meta_arch} would silently duplicate all "
+        "work across the pipe axis — use the data/model axes instead")
     builder = BACKBONE_REGISTRY.get_strict(meta_arch)
     module = builder(cfg) if not isinstance(builder, type) else builder(cfg=cfg)
     head = build_head(cfg)

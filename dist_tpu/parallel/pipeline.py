@@ -17,9 +17,11 @@ Design (the standard TPU formulation, cf. the public scaling-book recipe):
   runs its layers on microbatch ``t - s`` and hands the activation to
   stage ``s+1`` with a ring ``ppermute``,
 - ``M + S - 1`` ticks drain the pipe (bubble fraction ``(S-1)/(M+S-1)``),
-- per-layer taps (the DiST ladder's inputs) come back layer-sharded over
-  the pipe axis — each stage only ever materializes its own ``L/S`` tap
-  slices, which is also the memory behavior a sharded ladder wants.
+- per-layer taps (the DiST ladder's inputs) are COMPUTED stage-locally
+  (each stage fills only its own ``L/S`` slices) but returned REPLICATED:
+  the stages' disjoint chunks are assembled with one taps-sized psum, so
+  peak tap memory matches the sequential scan (see the in-code note on
+  the XLA partial-manual bug that rules out the sharded out_spec).
 
 ``shard_map`` runs FULL-manual over the mesh: the microbatch rows are
 explicitly data-sharded (dp x pp composes as row-parallelism inside every
@@ -44,11 +46,27 @@ from dist_tpu.parallel.mesh import DATA_AXIS, PIPE_AXIS
 
 
 def current_mesh():
-    """The ``with mesh:`` context's physical mesh, or None outside one."""
-    from jax._src import mesh as mesh_lib
+    """The ``with mesh:`` context's physical mesh, or None outside one.
 
-    m = mesh_lib.thread_resources.env.physical_mesh
-    return m if m.devices.size else None
+    jax exposes no public accessor for the context mesh, so this reads the
+    private ``thread_resources`` (guarded: a jax upgrade that moves it
+    degrades to the abstract-mesh fallback / a clear None, not a crash at
+    trace time)."""
+    try:
+        from jax._src import mesh as mesh_lib
+
+        m = mesh_lib.thread_resources.env.physical_mesh
+        if m.devices.size:
+            return m
+    except Exception:
+        pass
+    try:  # jax.sharding.use_mesh contexts surface here instead
+        m = jax.sharding.get_abstract_mesh()
+        if m is not None and m.shape:
+            return m
+    except Exception:
+        pass
+    return None
 
 
 def pipeline_stages(mesh=None):
@@ -73,8 +91,8 @@ def pipeline_stack(body, stacked_params, x, *, mesh, n_microbatches=0,
       pipeline bubble: efficiency = ``M / (M + S - 1)``.
 
     Returns ``(y, taps)`` matching the sequential scan bit-for-bit in
-    structure: ``y (N, ...)`` replicated over pipe, ``taps (L, N, ...)``
-    layer-sharded over pipe (or None).
+    structure: ``y (N, ...)`` and ``taps (L, N, ...)`` (or None), both
+    replicated over the pipe axis.
     """
     stages = pipeline_stages(mesh)
     leaves = jax.tree_util.tree_leaves(stacked_params)

@@ -50,53 +50,69 @@ class MicroBatcher:
 
     def _gather(self):
         """Block for one request, then fill the batch until full or the
-        deadline from the FIRST request passes."""
+        deadline — measured from the first request's SUBMIT time, so a
+        request that already aged in the queue behind a slow batch never
+        waits a second delay window (whatever is already queued still
+        coalesces via the non-blocking drain)."""
         try:
             first = self._q.get(timeout=0.1)
         except queue.Empty:
             return []
         items = [first]
-        deadline = time.perf_counter() + self.max_delay
+        deadline = first[2] + self.max_delay
         while len(items) < self.max_batch:
             remaining = deadline - time.perf_counter()
-            if remaining <= 0:
-                break
             try:
-                items.append(self._q.get(timeout=remaining))
+                if remaining <= 0:
+                    items.append(self._q.get_nowait())
+                else:
+                    items.append(self._q.get(timeout=remaining))
             except queue.Empty:
                 break
         return items
+
+    def _fail(self, items, exc):
+        with self._lock:
+            self.stats["errors"] += len(items)
+        for _, fut, _ in items:
+            if not fut.cancelled():
+                fut.set_exception(exc)
+
+    def _run_batch(self, items):
+        clips = np.stack([c for c, _, _ in items])
+        scores = self._predict(clips)
+        if len(scores) < len(items):
+            raise ValueError(
+                f"predict_fn returned {len(scores)} rows for "
+                f"{len(items)} clips")
+        now = time.perf_counter()
+        with self._lock:
+            self.stats["requests"] += len(items)
+            self.stats["batches"] += 1
+            self.stats["batched_clips"] += len(items)
+            for _, _, t_in in items:
+                ms = (now - t_in) * 1000.0
+                self.stats["latency_ms_sum"] += ms
+                self.stats["latency_ms_max"] = max(
+                    self.stats["latency_ms_max"], ms)
+        for i, (_, fut, _) in enumerate(items):
+            if not fut.cancelled():
+                fut.set_result(scores[i])
 
     def _loop(self):
         while not self._stop.is_set():
             items = self._gather()
             if not items:
                 continue
-            clips = np.stack([c for c, _, _ in items])
-            t0 = time.perf_counter()
+            # EVERYTHING per-batch stays inside the try: an escaped
+            # exception (mismatched clip shapes failing np.stack, a bad
+            # predict return, ...) must fail THIS batch's futures, never
+            # kill the dispatch thread — a dead thread would hang every
+            # future submit forever
             try:
-                scores = self._predict(clips)
-            except Exception as e:  # propagate to every waiter
-                with self._lock:
-                    self.stats["errors"] += len(items)
-                for _, fut, _ in items:
-                    if not fut.cancelled():
-                        fut.set_exception(e)
-                continue
-            now = time.perf_counter()
-            with self._lock:
-                self.stats["requests"] += len(items)
-                self.stats["batches"] += 1
-                self.stats["batched_clips"] += len(items)
-                for _, _, t_in in items:
-                    ms = (now - t_in) * 1000.0
-                    self.stats["latency_ms_sum"] += ms
-                    self.stats["latency_ms_max"] = max(
-                        self.stats["latency_ms_max"], ms)
-            _ = t0
-            for i, (_, fut, _) in enumerate(items):
-                if not fut.cancelled():
-                    fut.set_result(scores[i])
+                self._run_batch(items)
+            except Exception as e:
+                self._fail(items, e)
 
     def snapshot(self):
         with self._lock:

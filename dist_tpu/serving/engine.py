@@ -110,15 +110,22 @@ class InferenceEngine:
             pad = np.zeros((self.batch_size - n,) + expect, np.uint8)
             clips = np.concatenate([clips, pad], axis=0)
 
+        from dist_tpu.parallel.mesh import DATA_AXIS
+
         batch = {"video": clips,
                  "labels": np.zeros((self.batch_size,), np.int64)}
         with self.mesh:
-            if self.batch_size % self.mesh.devices.size == 0:
+            # shard when the batch tiles the DATA axis (shard_batch places
+            # P('data'); the total device count is the wrong divisor on
+            # pipe/model meshes)
+            if self.batch_size % int(self.mesh.shape.get(DATA_AXIS, 1)) == 0:
                 batch = shard_batch(self.mesh, batch)
             if self.text_features is not None:
                 batch["text_features"] = self.text_features
             preds = self._step(self.state, batch)["preds"]
-            return np.asarray(jax.device_get(preds))[:n]
+            out = np.asarray(jax.device_get(preds))[:n]
+        self._compiled = True  # readiness even when warmup() was skipped
+        return out
 
     def topk(self, scores, k=5):
         """[(class_index, label_or_None, score), ...] rows per clip."""

@@ -60,6 +60,11 @@ def _make_handler(engine: InferenceEngine, batcher: MicroBatcher):
                 self._json(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
+            # ALWAYS drain the body first: responding without reading it
+            # would desync the keep-alive connection (the unread clip bytes
+            # would parse as the next request line)
+            length = int(self.headers.get("Content-Length", "0"))
+            body = self.rfile.read(length)
             if not self.path.startswith("/v1/predict"):
                 self._json(404, {"error": f"unknown path {self.path}"})
                 return
@@ -70,9 +75,7 @@ def _make_handler(engine: InferenceEngine, batcher: MicroBatcher):
                 except ValueError:
                     pass
             try:
-                length = int(self.headers.get("Content-Length", "0"))
-                clip = np.load(io.BytesIO(self.rfile.read(length)),
-                               allow_pickle=False)
+                clip = np.load(io.BytesIO(body), allow_pickle=False)
             except Exception as e:
                 self._json(400, {"error": f"bad npy payload: {e}"})
                 return

@@ -62,6 +62,33 @@ def test_batcher_propagates_errors_and_recovers():
         b.close()
 
 
+def test_batcher_survives_mismatched_clip_shapes():
+    """np.stack of a mixed-shape batch fails OUTSIDE predict_fn; that must
+    fail those futures, not kill the dispatch thread (a dead thread would
+    hang every later submit)."""
+    from dist_tpu.serving.batcher import MicroBatcher
+
+    def predict(clips):
+        return np.zeros((clips.shape[0], 2), np.float32)
+
+    b = MicroBatcher(predict, max_batch=2, max_delay_ms=200.0)
+    try:
+        f1 = b.submit(np.zeros((2, 2), np.uint8))
+        f2 = b.submit(np.zeros((3, 3), np.uint8))  # same gather window
+        errs = 0
+        for f in (f1, f2):
+            try:
+                f.result(timeout=10.0)
+            except ValueError:
+                errs += 1
+        assert errs == 2
+        # the thread survived: a well-shaped request still completes
+        ok = b.submit(np.zeros((2, 2), np.uint8))
+        assert ok.result(timeout=10.0).shape == (2,)
+    finally:
+        b.close()
+
+
 def test_batcher_respects_max_batch():
     from dist_tpu.serving.batcher import MicroBatcher
 
