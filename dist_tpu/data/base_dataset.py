@@ -299,11 +299,28 @@ class BaseVideoDataset(abc.ABC):
                 spatial_idx)
         return frames
 
-    def __getitem__(self, index):
+    def __getitem__(self, index, seed=None):
         """Decode-with-retry, transform, flip (+SSV2 label remap)
-        (base_dataset.py:355-441)."""
-        base = hash((int(self.cfg.RANDOM_SEED), self.split, int(index)))
-        if self.split == "train":
+        (base_dataset.py:355-441).
+
+        ``seed``: per-sample RNG seed supplied by the Loader as a pure
+        function of (RANDOM_SEED, epoch, host, stream position) — makes
+        train augmentation reproducible run-to-run and lets a preemption
+        resume replay the exact augmentation stream
+        (``tests/test_preemption.py``), while MultiFold repeats of the same
+        index still draw fresh augmentations (distinct stream positions).
+        Direct ``dataset[i]`` access (no seed) keeps the old behavior:
+        deterministic per index for eval, fresh entropy for train.
+
+        The mix must be stable ACROSS PROCESSES (pool workers, a resumed
+        run), so no ``hash()`` on strings (PYTHONHASHSEED randomizes it) —
+        crc32 for the split, integer tuple hash for the rest."""
+        import zlib
+        base = hash((int(self.cfg.RANDOM_SEED),
+                     zlib.crc32(self.split.encode()), int(index)))
+        if seed is not None:
+            base = hash((base, int(seed)))
+        elif self.split == "train":
             base += int(np.random.default_rng().integers(1 << 30))
         rng = np.random.default_rng(base & 0x7FFFFFFF)
         for retry in range(2 if self.split == "train" else 10):

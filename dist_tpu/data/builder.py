@@ -76,12 +76,12 @@ def _proc_worker_init(cfg_dict, split):
     _PROC_DATASET = build_dataset(Config(cfg_dict), split)
 
 
-def _proc_worker_getitem(index, epoch_rate=None):
+def _proc_worker_getitem(index, epoch_rate=None, seed=None):
     if epoch_rate is not None and hasattr(_PROC_DATASET, "set_epoch_rate"):
         # curriculum progress travels with the request (the parent's
         # set_epoch_rate only mutates the parent's dataset copy)
         _PROC_DATASET.set_epoch_rate(epoch_rate)
-    return _PROC_DATASET[index]
+    return _PROC_DATASET.__getitem__(index, seed)
 
 
 class Loader:
@@ -103,7 +103,14 @@ class Loader:
         self.process_count = process_count
         self.prefetch = prefetch
         self.epoch = 0
+        self.skip_batches = 0
         assert worker_type in ("thread", "process"), worker_type
+        import inspect
+        try:  # duck-typed datasets (tests, user-supplied) may not take one
+            self._seed_aware = "seed" in inspect.signature(
+                dataset.__getitem__).parameters
+        except (TypeError, ValueError):
+            self._seed_aware = False
         self.worker_type = worker_type
         self.worker_ctx = worker_ctx  # (cfg_dict, split) for process pools
         self._proc_pool = None
@@ -121,11 +128,13 @@ class Loader:
                 initializer=_proc_worker_init, initargs=(cfg_dict, split))
         return self._proc_pool, False
 
-    def _submit(self, pool, index):
+    def _submit(self, pool, index, seed):
         if self.worker_type == "thread":
+            if self._seed_aware:
+                return pool.submit(self.dataset.__getitem__, int(index), seed)
             return pool.submit(self.dataset.__getitem__, int(index))
         rate = getattr(self.dataset, "epoch_rate", None)
-        return pool.submit(_proc_worker_getitem, int(index), rate)
+        return pool.submit(_proc_worker_getitem, int(index), rate, seed)
 
     def __del__(self):
         if self._proc_pool is not None:
@@ -134,6 +143,13 @@ class Loader:
     def set_epoch(self, epoch):
         """(reference shuffle_dataset / sampler.set_epoch)"""
         self.epoch = epoch
+
+    def set_skip_batches(self, n):
+        """One-shot: the NEXT iteration skips its first ``n`` batches.
+        The index stream is a pure function of (seed, epoch, folds, host),
+        so skipping the consumed prefix resumes a preempted epoch exactly
+        (utils/checkpoint.py mid-epoch checkpoints)."""
+        self.skip_batches = int(n)
 
     def _epoch_indices(self):
         """Global shuffled stream for this (fold-)epoch, host-sharded."""
@@ -160,9 +176,19 @@ class Loader:
             return n // self.batch_size
         return int(np.ceil(n / self.batch_size))
 
+    def _sample_seed(self, pos):
+        """Per-sample augmentation seed: pure in (loader seed, epoch, host,
+        stream position). Position — not index — so MultiFold/pad repeats of
+        the same sample still draw fresh augmentations, and a preemption
+        resume (which skips whole batches but keeps positions) replays the
+        exact augmentation stream (tests/test_preemption.py)."""
+        return hash((self.seed, self.epoch, self.process_index, int(pos))) \
+            & 0x7FFFFFFF
+
     def __iter__(self):
         indices = self._epoch_indices()
         batches = []
+        pos = 0
         for s in range(0, len(indices), self.batch_size):
             chunk = indices[s:s + self.batch_size]
             if len(chunk) < self.batch_size:
@@ -173,7 +199,12 @@ class Loader:
                 # than one batch. TestMeter dedups by clip id.
                 pad = np.resize(indices, self.batch_size - len(chunk))
                 chunk = np.concatenate([chunk, pad])
-            batches.append(chunk)
+            seeds = [self._sample_seed(pos + j) for j in range(len(chunk))]
+            pos += len(chunk)
+            batches.append((chunk, seeds))
+        if self.skip_batches:
+            batches = batches[self.skip_batches:]
+            self.skip_batches = 0
 
         q = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -210,8 +241,9 @@ class Loader:
                     def refill():
                         nonlocal inflight
                         while chunks and inflight < bound:
-                            chunk = chunks.popleft()
-                            futs = [self._submit(pool, i) for i in chunk]
+                            chunk, seeds = chunks.popleft()
+                            futs = [self._submit(pool, i, sd)
+                                    for i, sd in zip(chunk, seeds)]
                             inflight += len(futs)
                             chunk_futs.append(futs)
 

@@ -8,6 +8,9 @@ in host-sharded and get placed with the data-axis sharding. Epochs stride
 loader gets the epoch passed explicitly.
 """
 
+import signal
+import threading
+
 import jax
 import numpy as np
 
@@ -37,6 +40,26 @@ def _init_state(cfg, model, sample_batch, steps_per_epoch):
     return state, tx, lr_fn
 
 
+# Preemption flag: set by SIGTERM (TPU/GCE preemption notice) or by the
+# TRAIN.PREEMPT_AFTER_ITERS fault-injection knob; the train loop drains the
+# current step, writes a mid-epoch checkpoint, and exits 0. The reference
+# has no preemption story (SURVEY.md §5.3) — a kill loses everything since
+# the last epoch checkpoint.
+_PREEMPTED = threading.Event()
+
+
+def _install_preemption_handler():
+    def _on_sigterm(signum, frame):
+        logger.info("SIGTERM: will checkpoint at the next step boundary.")
+        _PREEMPTED.set()
+
+    try:
+        signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        # not the main thread (embedded use); preemption save unavailable
+        logger.info("Not installing SIGTERM handler (non-main thread).")
+
+
 def _text_features(cfg, model, state, dataset, mesh=None):
     from dist_tpu.tasks.state import compute_text_features
     return compute_text_features(model, state.variables,
@@ -64,7 +87,7 @@ def train(cfg):
     state, tx, lr_fn = _init_state(cfg, model, first_batch, steps_per_epoch)
     if cfg.LOG_MODEL_INFO:
         misc.log_model_info(state.variables)
-    state, start_epoch = cu.load_train_checkpoint(cfg, state)
+    state, start_epoch, start_iter = cu.load_train_checkpoint(cfg, state)
 
     text_features = _text_features(cfg, model, state, train_loader.dataset,
                                    mesh)
@@ -88,6 +111,15 @@ def train(cfg):
         train_meter = TrainMeter(len(train_loader), cfg)
         val_meter = ValMeter(len(val_loader), cfg)
 
+        _PREEMPTED.clear()
+        if bool(cfg.TRAIN.get("SAVE_ON_PREEMPTION", True)):
+            _install_preemption_handler()
+        run_iters = [0]  # fault-injection counter (TRAIN.PREEMPT_AFTER_ITERS)
+        if start_iter:
+            logger.info("Mid-epoch resume: fold-epoch %d from iter %d",
+                        start_epoch, start_iter)
+            train_loader.set_skip_batches(start_iter)
+
         for cur_epoch in range(start_epoch, cfg.OPTIMIZER.MAX_EPOCH, num_folds):
             shuffle_dataset(train_loader, cur_epoch)
             if hasattr(train_loader.dataset, "set_epoch_rate"):
@@ -95,8 +127,17 @@ def train(cfg):
                 # ./current_epoch/ filesystem IPC, runs/train.py:29-37)
                 train_loader.dataset.set_epoch_rate(
                     cur_epoch / max(float(cfg.OPTIMIZER.MAX_EPOCH), 1.0))
-            state = train_epoch(cfg, mesh, state, train_step, train_loader,
-                                train_meter, cur_epoch, rng, text_features)
+            iter_offset = start_iter if cur_epoch == start_epoch else 0
+            state, preempt_iter = train_epoch(
+                cfg, mesh, state, train_step, train_loader, train_meter,
+                cur_epoch, rng, text_features, iter_offset, run_iters)
+            if preempt_iter is not None:
+                cu.save_checkpoint(cfg, state, cur_epoch,
+                                   iter_in_epoch=preempt_iter)
+                cu.wait_until_finished()
+                logger.info("Preemption checkpoint committed (fold-epoch %d, "
+                            "iter %d); exiting.", cur_epoch, preempt_iter)
+                raise SystemExit(0)
             if cu.is_checkpoint_epoch(cfg, cur_epoch):
                 # collective save of the sharded state: EVERY process calls
                 # in (orbax writes each shard exactly once, replicated
@@ -115,11 +156,17 @@ def train(cfg):
                     logger.info("Evaluating EMA model.")
                     eval_epoch(cfg, mesh, state, ema_eval_step, val_loader,
                                val_meter, cur_epoch, text_features)
+        cu.wait_until_finished()  # join an in-flight async checkpoint commit
     return state
 
 
 def train_epoch(cfg, mesh, state, train_step, loader, meter, cur_epoch, rng,
-                text_features):
+                text_features, iter_offset=0, run_iters=None):
+    """Returns ``(state, preempt_iter)``: ``preempt_iter`` is None for a
+    completed epoch, else the number of batches of this fold-epoch already
+    consumed (incl. any resumed prefix) — the caller checkpoints it and
+    exits."""
+    preempt_after = int(cfg.TRAIN.get("PREEMPT_AFTER_ITERS", -1) or -1)
     meter.iter_tic()
 
     def consume(metrics, cur_iter, mb_size):
@@ -156,11 +203,18 @@ def train_epoch(cfg, mesh, state, train_step, loader, meter, cur_epoch, rng,
         if pending is not None:
             consume(*pending)
         pending = (metrics, cur_iter, batch["video"].shape[0])
+        if run_iters is not None:
+            run_iters[0] += 1
+            if 0 <= preempt_after <= run_iters[0]:
+                _PREEMPTED.set()  # fault injection: simulate the SIGTERM
+        if _PREEMPTED.is_set():
+            consume(*pending)
+            return state, iter_offset + cur_iter + 1
     if pending is not None:
         consume(*pending)
     meter.log_epoch_stats(cur_epoch + int(cfg.TRAIN.get("NUM_FOLDS", 1)) - 1)
     meter.reset()
-    return state
+    return state, None
 
 
 def eval_epoch(cfg, mesh, state, eval_step, loader, meter, cur_epoch,

@@ -33,18 +33,23 @@ def make_checkpoint_dir(output_dir):
     os.makedirs(os.path.join(output_dir, "checkpoints"), exist_ok=True)
 
 
-def _ckpt_path(cfg, epoch):
-    return os.path.abspath(
-        os.path.join(checkpoint_dir(cfg), f"checkpoint_epoch_{epoch:05d}"))
+def _ckpt_path(cfg, epoch, iter_in_epoch=None):
+    name = f"checkpoint_epoch_{epoch:05d}"
+    if iter_in_epoch is not None:
+        # mid-epoch (preemption) checkpoint: epoch E iter K sorts after the
+        # start-of-E checkpoint and before end-of-E (named E+folds)
+        name += f"_iter_{iter_in_epoch:07d}"
+    return os.path.abspath(os.path.join(checkpoint_dir(cfg), name))
 
 
 def get_last_checkpoint(cfg):
-    """Latest checkpoint dir or None (checkpoint.py:62-75)."""
+    """Latest checkpoint dir or None (checkpoint.py:62-75). Lexicographic
+    order is chronological for both epoch and mid-epoch names."""
     d = checkpoint_dir(cfg)
     if not os.path.isdir(d):
         return None
     names = [n for n in os.listdir(d)
-             if re.match(r"checkpoint_epoch_\d+$", n)
+             if re.match(r"checkpoint_epoch_\d+(_iter_\d+)?$", n)
              and os.path.isdir(os.path.join(d, n))]
     if not names:
         return None
@@ -61,7 +66,30 @@ def is_checkpoint_epoch(cfg, cur_epoch):
     return (next_epoch % period < folds) or (next_epoch >= max_epoch)
 
 
-def save_checkpoint(cfg, state, cur_epoch):
+_ASYNC_CKPTR = None
+
+
+def _get_checkpointer(async_save):
+    """A module-singleton AsyncCheckpointer (its background commit thread
+    must outlive the call) or a fresh blocking StandardCheckpointer."""
+    global _ASYNC_CKPTR
+    if not async_save:
+        return ocp.StandardCheckpointer()
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_until_finished():
+    """Block until any in-flight async checkpoint save has committed. Call
+    before process exit (train end / preemption) — an uncommitted async
+    save is invisible to ``get_last_checkpoint`` (orbax renames the tmp dir
+    atomically on commit), so nothing is corrupted, but the work is lost."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
+def save_checkpoint(cfg, state, cur_epoch, iter_in_epoch=None):
     """Save the full TrainState at OUTPUT_DIR/checkpoints/ (orbax).
 
     Multi-host contract (replaces the reference's master-only torch.save,
@@ -78,21 +106,40 @@ def save_checkpoint(cfg, state, cur_epoch):
     NUM_FOLDS``): one fold-epoch covers NUM_FOLDS data epochs, so resuming
     at ``cur_epoch + 1`` would fall off the fold grid, re-train covered
     epochs, and overshoot MAX_EPOCH (reference stores the last covered
-    epoch and resumes at +1, runs/train.py:414 + checkpoint.py:544)."""
-    next_epoch = cur_epoch + int(cfg.TRAIN.get("NUM_FOLDS", 1))
-    path = _ckpt_path(cfg, next_epoch)
-    ckptr = ocp.StandardCheckpointer()
+    epoch and resumes at +1, runs/train.py:414 + checkpoint.py:544).
+
+    ``iter_in_epoch``: a MID-epoch save (preemption path): the stored epoch
+    is the CURRENT unfinished fold-epoch and ``iter`` the number of batches
+    already consumed in it; resume skips exactly that prefix of the
+    deterministic index stream (``Loader.set_skip_batches``).
+
+    ``TRAIN.CHECKPOINT_ASYNC``: device arrays are snapshotted to host
+    synchronously (so the caller may immediately donate/overwrite the
+    state) and serialized/committed in the background, overlapping
+    checkpoint IO with the next epoch. The next save (or
+    ``wait_until_finished``) joins the in-flight commit first."""
+    async_save = bool(cfg.TRAIN.get("CHECKPOINT_ASYNC", False))
+    if iter_in_epoch is None:
+        epoch = cur_epoch + int(cfg.TRAIN.get("NUM_FOLDS", 1))
+        path = _ckpt_path(cfg, epoch)
+    else:
+        epoch = cur_epoch
+        path = _ckpt_path(cfg, epoch, iter_in_epoch)
+    ckptr = _get_checkpointer(async_save)
     payload = {
-        "epoch": np.asarray(next_epoch, np.int32),
+        "epoch": np.asarray(epoch, np.int32),
         "step": np.asarray(state.step),
         "variables": state.variables,
         "opt_state": state.opt_state,
     }
+    if iter_in_epoch is not None:
+        payload["iter"] = np.asarray(iter_in_epoch, np.int32)
     if state.ema_variables is not None:
         payload["ema_variables"] = state.ema_variables
     ckptr.save(path, payload, force=True)
-    ckptr.wait_until_finished()
-    logger.info("Saved checkpoint %s", path)
+    if not async_save:
+        ckptr.wait_until_finished()
+    logger.info("Saved checkpoint %s%s", path, " (async)" if async_save else "")
     return path
 
 
@@ -205,13 +252,17 @@ def merge_into_template(template, loaded):
 
 def load_train_checkpoint(cfg, state):
     """Auto-resume / fine-tune logic (checkpoint.py:532-577). Returns
-    (state, start_epoch)."""
+    (state, start_epoch, start_iter): start_iter > 0 only when resuming a
+    mid-epoch (preemption) checkpoint — the loader must skip that many
+    batches of fold-epoch ``start_epoch``."""
     if cfg.TRAIN.AUTO_RESUME and get_last_checkpoint(cfg):
         path = get_last_checkpoint(cfg)
         logger.info("Auto-resume from %s", path)
         payload = {"epoch": np.asarray(0, np.int32),
                    "step": np.asarray(state.step),
                    "variables": state.variables, "opt_state": state.opt_state}
+        if "_iter_" in os.path.basename(path):
+            payload["iter"] = np.asarray(0, np.int32)
         if state.ema_variables is not None:
             payload["ema_variables"] = state.ema_variables
         restored = load_checkpoint(path, payload)
@@ -219,7 +270,7 @@ def load_train_checkpoint(cfg, state):
             step=restored["step"], variables=restored["variables"],
             opt_state=restored["opt_state"],
             ema_variables=restored.get("ema_variables", state.ema_variables))
-        return state, int(restored["epoch"])
+        return state, int(restored["epoch"]), int(restored.get("iter", 0))
     ckpt = cfg.TRAIN.CHECKPOINT_FILE_PATH
     if ckpt:
         assert cfg.TRAIN.CHECKPOINT_TYPE != "caffe2", (
@@ -236,7 +287,7 @@ def load_train_checkpoint(cfg, state):
             merged, m, u = merge_into_template(state.variables, loaded)
             state = state.replace(variables=merged)
         logger.info("Fine-tune init from %s (epoch reset)", ckpt)
-    return state, 0
+    return state, 0, 0
 
 
 def load_test_checkpoint(cfg, state):

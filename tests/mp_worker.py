@@ -197,7 +197,7 @@ template = TrainState(
     variables={"params": {"w": jax.device_put(jnp.zeros(8), repl)}},
     opt_state={"mu": multihost_utils.host_local_array_to_global_array(
         np.zeros((4, 2), np.float32), mesh2, P(DATA_AXIS))})
-restored, start_epoch = cu.load_train_checkpoint(cfg_c, template)
+restored, start_epoch, _ = cu.load_train_checkpoint(cfg_c, template)
 # fold-grid resume: stored epoch = cur_epoch + NUM_FOLDS = 4, and the
 # remaining span (8 - 4) stays divisible by NUM_FOLDS
 assert start_epoch == 4, start_epoch

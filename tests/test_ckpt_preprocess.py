@@ -89,7 +89,7 @@ def test_load_train_checkpoint_inflates_2d(tmp_path):
     cfg.TRAIN.CHECKPOINT_INFLATE = True
     state = _train_state(
         {"params": {"conv": {"kernel": np.zeros((5, 3, 3, 4, 8), np.float32)}}})
-    state, start_epoch = cu.load_train_checkpoint(cfg, state)
+    state, start_epoch, _ = cu.load_train_checkpoint(cfg, state)
     assert start_epoch == 0
     k3 = np.asarray(state.variables["params"]["conv"]["kernel"])
     assert k3.shape == (5, 3, 3, 4, 8)
@@ -119,7 +119,7 @@ def test_load_train_checkpoint_adapts_pos_embed_and_pops_head(tmp_path):
         "backbone": {"pos_embd": np.zeros((1, 5, 4), np.float32)},
         "head": {"linear": {"kernel": head_fresh}},
     }})
-    state, _ = cu.load_train_checkpoint(cfg, state)
+    state, _, _ = cu.load_train_checkpoint(cfg, state)
     pe_new = np.asarray(state.variables["params"]["backbone"]["pos_embd"])
     assert pe_new.shape == (1, 5, 4)
     assert np.abs(pe_new).sum() > 0  # adapted weights actually loaded

@@ -86,7 +86,7 @@ def test_auto_resume(tiny_cfg, trained):
     variables = model.init(jax.random.PRNGKey(0), {"video": video})
     tx, _ = construct_optimizer(cfg, variables, steps_per_epoch=2)
     state = create_train_state(variables, tx)
-    state, start_epoch = cu.load_train_checkpoint(cfg, state)
+    state, start_epoch, _ = cu.load_train_checkpoint(cfg, state)
     assert start_epoch == 1
     assert int(state.step) == 2  # restored optimizer step count
 
@@ -127,7 +127,7 @@ def test_checkpoint_resume_stays_on_fold_grid(tmp_path):
                        variables={"params": {"w": jnp.ones((2,))}},
                        opt_state={"m": jnp.zeros((2,))}, ema_variables=None)
     cu.save_checkpoint(cfg, state, cur_epoch=0)  # fold-epoch 0 covers 0..1
-    restored, start_epoch = cu.load_train_checkpoint(cfg, state)
+    restored, start_epoch, _ = cu.load_train_checkpoint(cfg, state)
     assert start_epoch == 2, start_epoch
     assert int(restored.step) == 7
     # remaining epochs stay divisible by NUM_FOLDS (the train-loop assert)

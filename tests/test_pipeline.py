@@ -255,7 +255,7 @@ def test_fsdp_checkpoint_roundtrip(repo_root, tmp_path):
 
     fresh = create_train_state(
         jax.tree_util.tree_map(jnp.zeros_like, variables), tx)
-    restored, start_epoch = cu.load_train_checkpoint(cfg, fresh)
+    restored, start_epoch, _ = cu.load_train_checkpoint(cfg, fresh)
     assert start_epoch == 1
     for a, b in zip(jax.tree_util.tree_leaves(restored.variables),
                     jax.tree_util.tree_leaves(state.variables)):

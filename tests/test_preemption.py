@@ -1,0 +1,125 @@
+"""Preemption-safe + async checkpointing.
+
+The reference has no preemption story (SURVEY.md section 5.3): a SIGTERM
+loses everything since the last epoch checkpoint (utils/checkpoint.py:102).
+Here SIGTERM (or the TRAIN.PREEMPT_AFTER_ITERS fault-injection knob) drains
+the in-flight step, writes a mid-epoch orbax checkpoint carrying
+(epoch, iter), and exits 0; resume skips exactly the consumed prefix of the
+deterministic index stream, so the resumed run is step-for-step identical
+to an uninterrupted one (the train step folds its PRNG with state.step).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from dist_tpu.config import load_config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CFG = os.path.join(REPO, "configs/projects/dist/test/tiny_synth.yaml")
+
+
+def _cfg(out, *opts):
+    return load_config(CFG, opts=["OUTPUT_DIR", str(out)] + list(opts))
+
+
+def test_loader_skip_batches_matches_full_stream(tmp_path):
+    """set_skip_batches(n) reproduces the tail of the same epoch's stream
+    (and is one-shot: the following epoch is full again)."""
+    from dist_tpu.data.builder import build_loader
+
+    cfg = _cfg(tmp_path)
+    loader = build_loader(cfg, "train")
+    loader.set_epoch(0)
+    full = [b["label"] for b in loader]
+    assert len(full) == 2
+    loader.set_epoch(0)
+    loader.set_skip_batches(1)
+    tail = [b["label"] for b in loader]
+    assert len(tail) == 1
+    np.testing.assert_array_equal(tail[0], full[1])
+    loader.set_epoch(0)  # one-shot: consumed by the previous __iter__
+    assert len([b for b in loader]) == 2
+
+
+def test_mid_epoch_checkpoint_roundtrip(tmp_path):
+    """A mid-epoch save stores (cur_epoch, iter), sorts after the
+    start-of-epoch checkpoint, and load_train_checkpoint surfaces both."""
+    import jax.numpy as jnp
+
+    from dist_tpu.tasks.state import TrainState
+    from dist_tpu.utils import checkpoint as cu
+
+    cfg = _cfg(tmp_path, "TRAIN.NUM_FOLDS", "2", "OPTIMIZER.MAX_EPOCH", "10",
+               "TRAIN.AUTO_RESUME", "true")
+    state = TrainState(step=jnp.asarray(5, jnp.int32),
+                       variables={"params": {"w": jnp.full((3,), 2.0)}},
+                       opt_state={"m": jnp.zeros((3,))}, ema_variables=None)
+    cu.save_checkpoint(cfg, state, cur_epoch=0)  # end of fold-epoch 0 -> "2"
+    mid = state.replace(step=jnp.asarray(8, jnp.int32))
+    cu.save_checkpoint(cfg, mid, cur_epoch=2, iter_in_epoch=3)
+    last = cu.get_last_checkpoint(cfg)
+    assert last.endswith("checkpoint_epoch_00002_iter_0000003"), last
+    restored, start_epoch, start_iter = cu.load_train_checkpoint(cfg, state)
+    assert (start_epoch, start_iter) == (2, 3)
+    assert int(restored.step) == 8
+    # the fold-grid assert in the train loop still holds on resume
+    assert (cfg.OPTIMIZER.MAX_EPOCH - start_epoch) % 2 == 0
+
+
+def test_async_checkpoint_commit(tmp_path):
+    """TRAIN.CHECKPOINT_ASYNC: the save returns before commit;
+    wait_until_finished makes it durable and byte-identical."""
+    import jax.numpy as jnp
+
+    from dist_tpu.tasks.state import TrainState
+    from dist_tpu.utils import checkpoint as cu
+
+    cfg = _cfg(tmp_path, "TRAIN.CHECKPOINT_ASYNC", "true",
+               "TRAIN.AUTO_RESUME", "true")
+    state = TrainState(step=jnp.asarray(4, jnp.int32),
+                       variables={"params": {"w": jnp.arange(4.0)}},
+                       opt_state={"m": jnp.ones((4,))}, ema_variables=None)
+    cu.save_checkpoint(cfg, state, cur_epoch=0)
+    cu.wait_until_finished()
+    restored, start_epoch, start_iter = cu.load_train_checkpoint(cfg, state)
+    assert (start_epoch, start_iter) == (1, 0)
+    np.testing.assert_array_equal(
+        np.asarray(restored.variables["params"]["w"]), np.arange(4.0))
+    np.testing.assert_array_equal(np.asarray(restored.opt_state["m"]),
+                                  np.ones((4,)))
+
+
+@pytest.mark.slow
+def test_preempt_resume_matches_uninterrupted(tmp_path):
+    """Fault-inject a preemption after 1 of 4 steps; resuming completes the
+    run with final params IDENTICAL to an uninterrupted run (deterministic
+    index stream + step-folded PRNG)."""
+    import jax
+
+    from dist_tpu.tasks.train import train
+    from dist_tpu.utils import checkpoint as cu
+
+    opts = ["OPTIMIZER.MAX_EPOCH", "2", "TRAIN.AUTO_RESUME", "true"]
+
+    # uninterrupted reference run
+    ref = train(_cfg(tmp_path / "ref", *opts))
+
+    # preempted run: SystemExit(0) after step 1, mid-epoch ckpt written
+    pre_out = tmp_path / "pre"
+    with pytest.raises(SystemExit) as e:
+        train(_cfg(pre_out, *opts, "TRAIN.PREEMPT_AFTER_ITERS", "1"))
+    assert e.value.code == 0
+    last = cu.get_last_checkpoint(_cfg(pre_out, *opts))
+    assert "_iter_0000001" in last, last
+
+    # resume to completion and compare final params exactly
+    resumed = train(_cfg(pre_out, *opts))
+    assert int(resumed.step) == int(ref.step) == 4
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(ref.variables),
+            jax.tree_util.tree_leaves_with_path(resumed.variables)):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0,
+                                   atol=0, err_msg=str(pa))
