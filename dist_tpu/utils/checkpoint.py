@@ -56,6 +56,38 @@ def get_last_checkpoint(cfg):
     return os.path.abspath(os.path.join(d, sorted(names)[-1]))
 
 
+def prune_old_checkpoints(cfg, in_flight=0):
+    """Retention GC: keep only the newest ``TRAIN.CHECKPOINT_KEEP_LAST``
+    checkpoints (-1/0 = keep all, the default and the reference's only
+    behavior — utils/checkpoint.py:102 never deletes). Multi-host: only the
+    primary process deletes (shared OUTPUT_DIR); deletion is of COMMITTED
+    dirs only (an in-flight async save lives under an ``.orbax-...-tmp``
+    name the pattern doesn't match). ``in_flight``: count of saves issued
+    but not yet visible, so sync and async callers keep the same total."""
+    keep = int(cfg.TRAIN.get("CHECKPOINT_KEEP_LAST", -1) or -1)
+    if keep <= 0:
+        return
+    import jax
+    if jax.process_index() != 0:
+        return
+    d = checkpoint_dir(cfg)
+    if not os.path.isdir(d):
+        return
+    names = sorted(n for n in os.listdir(d)
+                   if re.match(r"checkpoint_epoch_\d+(_iter_\d+)?$", n)
+                   and os.path.isdir(os.path.join(d, n)))
+    n_keep = max(keep - in_flight, 0)
+    doomed = names[:-n_keep] if n_keep else names
+    import shutil
+    for name in doomed:
+        path = os.path.join(d, name)
+        try:
+            shutil.rmtree(path)
+            logger.info("Pruned old checkpoint %s (KEEP_LAST=%d)", path, keep)
+        except OSError as e:  # never fail training over GC
+            logger.warning("Could not prune %s: %s", path, e)
+
+
 def is_checkpoint_epoch(cfg, cur_epoch):
     """Checkpoint cadence incl. densified saves near the end
     (checkpoint.py:89-99)."""
@@ -140,6 +172,9 @@ def save_checkpoint(cfg, state, cur_epoch, iter_in_epoch=None):
     if not async_save:
         ckptr.wait_until_finished()
     logger.info("Saved checkpoint %s%s", path, " (async)" if async_save else "")
+    # retention GC after the save: in async mode the new dir is not yet
+    # committed/visible, so count it as in-flight to keep the same total
+    prune_old_checkpoints(cfg, in_flight=1 if async_save else 0)
     return path
 
 

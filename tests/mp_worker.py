@@ -215,6 +215,34 @@ np.testing.assert_array_equal(local_rows(r_mu), local_opt)
 assert np.unique(w_sum_all).size == 1, w_sum_all
 
 C.synchronize()
+
+# ---- mid-epoch (preemption) checkpoint, multihost: on SIGTERM every host
+# enters the SAME collective save with (epoch, iter); restore surfaces
+# both so each host skips the same prefix of its own index stream
+# (tasks/train.py preemption path; docs/MULTIHOST.md) ----
+mid_state = TrainState(step=jax.device_put(jnp.int32(21), repl),
+                       variables={"params": {"w": w}},
+                       opt_state={"mu": opt})
+mid_path = cu.save_checkpoint(cfg_c, mid_state, cur_epoch=4, iter_in_epoch=3)
+assert mid_path.endswith("checkpoint_epoch_00004_iter_0000003"), mid_path
+assert cu.get_last_checkpoint(cfg_c) == mid_path  # outranks epoch_00004
+restored2, start_epoch2, start_iter2 = cu.load_train_checkpoint(
+    cfg_c, template)
+assert (start_epoch2, start_iter2) == (4, 3), (start_epoch2, start_iter2)
+assert int(np.asarray(restored2.step)) == 21
+np.testing.assert_array_equal(local_rows(restored2.opt_state["mu"]),
+                              local_opt)
+
+# ---- retention GC, multihost: primary-only deletion on the shared dir;
+# after the barrier BOTH hosts see only the newest KEEP_LAST=1 ----
+cfg_c.TRAIN.CHECKPOINT_KEEP_LAST = 1
+cu.prune_old_checkpoints(cfg_c)
+C.synchronize()
+left = sorted(n for n in os.listdir(cu.checkpoint_dir(cfg_c))
+              if n.startswith("checkpoint_"))
+assert left == ["checkpoint_epoch_00004_iter_0000003"], left
+
+C.synchronize()
 if pid == 0:
     shutil.rmtree(ckpt_root, ignore_errors=True)
 print(f"mp_worker {pid}: OK")

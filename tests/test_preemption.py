@@ -91,6 +91,34 @@ def test_async_checkpoint_commit(tmp_path):
                                   np.ones((4,)))
 
 
+def test_checkpoint_retention_keeps_last_n(tmp_path):
+    """TRAIN.CHECKPOINT_KEEP_LAST prunes all but the newest N committed
+    checkpoints after each save; -1 (default) keeps everything."""
+    import jax.numpy as jnp
+
+    from dist_tpu.tasks.state import TrainState
+    from dist_tpu.utils import checkpoint as cu
+
+    cfg = _cfg(tmp_path, "TRAIN.CHECKPOINT_KEEP_LAST", "2",
+               "TRAIN.AUTO_RESUME", "true")
+    state = TrainState(step=jnp.asarray(0, jnp.int32),
+                       variables={"params": {"w": jnp.ones((2,))}},
+                       opt_state={"m": jnp.zeros((2,))}, ema_variables=None)
+    for epoch in range(4):
+        cu.save_checkpoint(cfg, state, cur_epoch=epoch)
+    d = cu.checkpoint_dir(cfg)
+    names = sorted(n for n in os.listdir(d) if n.startswith("checkpoint_"))
+    assert names == ["checkpoint_epoch_00003", "checkpoint_epoch_00004"], names
+    # the survivor is loadable
+    restored, start_epoch, _ = cu.load_train_checkpoint(cfg, state)
+    assert start_epoch == 4
+    # a mid-epoch (preemption) checkpoint participates in retention too
+    cu.save_checkpoint(cfg, state, cur_epoch=4, iter_in_epoch=1)
+    names = sorted(n for n in os.listdir(d) if n.startswith("checkpoint_"))
+    assert names == ["checkpoint_epoch_00004",
+                     "checkpoint_epoch_00004_iter_0000001"], names
+
+
 @pytest.mark.slow
 def test_preempt_resume_matches_uninterrupted(tmp_path):
     """Fault-inject a preemption after 1 of 4 steps; resuming completes the

@@ -105,6 +105,7 @@ def run_one(args, config_path, family, acc1, acc5):
                       f"--ckpt {_stem(config_path)}=<path> or put it in "
                       "--ckpt-dir")
         opts += ["TEST.CHECKPOINT_FILE_PATH", ckpt]
+    opts += args.opts
 
     cfg = load_config(os.path.join(repo, config_path), opts=opts)
     _apply_view_policy(cfg)
@@ -146,6 +147,9 @@ def main():
                     help="synthetic data + random weights; checks the "
                          "harness end to end, skips the accuracy assert")
     ap.add_argument("--dry-run-samples", type=int, default=4)
+    ap.add_argument("--opts", nargs=argparse.REMAINDER, default=[],
+                    help="trailing dotted-key overrides applied to every "
+                         "config (e.g. --opts DATA.TEST_CROP_SIZE 96)")
     args = ap.parse_args()
     args.ckpt_map = dict(kv.split("=", 1) for kv in args.ckpt)
 
