@@ -88,6 +88,21 @@ def all_reduce_mean(*scalars):
     return list(np.mean(np.stack(list(gathered)), axis=0))
 
 
+def any_flag(flag):
+    """Cross-host OR of a per-host boolean (every process must call in).
+    Used to AGREE on a host-side event before acting on it collectively —
+    e.g. the preemption stop boundary: hosts receive SIGTERM at slightly
+    different times, and acting on the local flag alone would have hosts
+    exit the step loop at different iterations (mismatched collectives,
+    divergent checkpoint names)."""
+    if jax.process_count() == 1:
+        return bool(flag)
+    from jax.experimental import multihost_utils
+    gathered = multihost_utils.process_allgather(
+        np.asarray([1.0 if flag else 0.0], np.float32), tiled=False)
+    return bool(np.max(gathered) > 0)
+
+
 def broadcast_from_master(value):
     """Broadcast a small host value from process 0 (the analog of the
     reference's gloo object broadcast)."""

@@ -45,7 +45,28 @@ def _init_state(cfg, model, sample_batch, steps_per_epoch):
 # current step, writes a mid-epoch checkpoint, and exits 0. The reference
 # has no preemption story (SURVEY.md §5.3) — a kill loses everything since
 # the last epoch checkpoint.
+#
+# Multihost: SIGTERM lands on each host at a slightly different moment, so
+# acting on the LOCAL flag alone would have hosts leave the step loop at
+# different iterations — mismatched collectives (deadlock until the grace
+# period SIGKILLs everyone) and divergent checkpoint names. The loop only
+# acts on the cross-host AGREED flag (``collectives.any_flag``), polled at
+# uniform boundaries every ``TRAIN.PREEMPT_SYNC_PERIOD`` steps (identical
+# per-host loader lengths make the poll a uniform collective).
 _PREEMPTED = threading.Event()
+
+
+def _sync_period(cfg):
+    return max(1, int(cfg.TRAIN.get("PREEMPT_SYNC_PERIOD", 10) or 1))
+
+
+def _agreed_preempted(cfg):
+    """The cross-host agreed preemption flag (uniform collective — every
+    process must reach this call at the same program point)."""
+    if not bool(cfg.TRAIN.get("SAVE_ON_PREEMPTION", True)):
+        return False
+    from dist_tpu.parallel import collectives
+    return collectives.any_flag(_PREEMPTED.is_set())
 
 
 def _install_preemption_handler():
@@ -138,6 +159,20 @@ def train(cfg):
                 logger.info("Preemption checkpoint committed (fold-epoch %d, "
                             "iter %d); exiting.", cur_epoch, preempt_iter)
                 raise SystemExit(0)
+
+            def _exit_preempted(saved):
+                # a SIGTERM that landed outside the step loop (epoch tail,
+                # checkpoint save, eval) still exits promptly with a
+                # durable end-of-epoch checkpoint instead of being
+                # silently absorbed until the grace period SIGKILLs us
+                if not saved:
+                    cu.save_checkpoint(cfg, state, cur_epoch)
+                cu.wait_until_finished()
+                logger.info("Preemption at the fold-epoch %d boundary; "
+                            "checkpoint committed, exiting.", cur_epoch)
+                raise SystemExit(0)
+
+            saved_this_epoch = False
             if cu.is_checkpoint_epoch(cfg, cur_epoch):
                 # collective save of the sharded state: EVERY process calls
                 # in (orbax writes each shard exactly once, replicated
@@ -146,6 +181,9 @@ def train(cfg):
                 # files concurrently (reference is master-only torch.save,
                 # utils/checkpoint.py:102-143)
                 cu.save_checkpoint(cfg, state, cur_epoch)
+                saved_this_epoch = True
+            if _agreed_preempted(cfg):
+                _exit_preempted(saved_this_epoch)
             if misc.is_eval_epoch(cfg, cur_epoch):
                 eval_epoch(cfg, mesh, state, eval_step, val_loader, val_meter,
                            cur_epoch, text_features)
@@ -156,6 +194,10 @@ def train(cfg):
                     logger.info("Evaluating EMA model.")
                     eval_epoch(cfg, mesh, state, ema_eval_step, val_loader,
                                val_meter, cur_epoch, text_features)
+                if _agreed_preempted(cfg):
+                    # eval_epoch aborts early on the agreed flag; commit a
+                    # checkpoint and exit before starting another epoch
+                    _exit_preempted(saved_this_epoch)
         cu.wait_until_finished()  # join an in-flight async checkpoint commit
     return state
 
@@ -166,7 +208,10 @@ def train_epoch(cfg, mesh, state, train_step, loader, meter, cur_epoch, rng,
     completed epoch, else the number of batches of this fold-epoch already
     consumed (incl. any resumed prefix) — the caller checkpoints it and
     exits."""
-    preempt_after = int(cfg.TRAIN.get("PREEMPT_AFTER_ITERS", -1) or -1)
+    raw = cfg.TRAIN.get("PREEMPT_AFTER_ITERS", -1)
+    preempt_after = -1 if raw is None else int(raw)  # 0 = before 1st step
+    multihost = jax.process_count() > 1
+    sync_period = _sync_period(cfg)
     meter.iter_tic()
 
     def consume(metrics, cur_iter, mb_size):
@@ -202,12 +247,21 @@ def train_epoch(cfg, mesh, state, train_step, loader, meter, cur_epoch, rng,
         state, metrics = train_step(state, device_batch, rng)
         if pending is not None:
             consume(*pending)
-        pending = (metrics, cur_iter, batch["video"].shape[0])
+        # meters report the GLOBAL in-epoch iteration (a mid-epoch resume
+        # re-enumerates the tail from 0; logs must not)
+        pending = (metrics, iter_offset + cur_iter, batch["video"].shape[0])
         if run_iters is not None:
             run_iters[0] += 1
             if 0 <= preempt_after <= run_iters[0]:
                 _PREEMPTED.set()  # fault injection: simulate the SIGTERM
-        if _PREEMPTED.is_set():
+        stop = _PREEMPTED.is_set()
+        if multihost:
+            # act only on the cross-host AGREED flag, polled at uniform
+            # step boundaries (every host reaches the same cur_iter) —
+            # local-flag exits would desynchronize the step collectives
+            stop = (_agreed_preempted(cfg)
+                    if (cur_iter + 1) % sync_period == 0 else False)
+        if stop:
             consume(*pending)
             return state, iter_offset + cur_iter + 1
     if pending is not None:
@@ -221,7 +275,20 @@ def eval_epoch(cfg, mesh, state, eval_step, loader, meter, cur_epoch,
                text_features):
     """(reference runs/train.py:209-329)"""
     meter.reset()
-    for batch in loader:
+    multihost = jax.process_count() > 1
+    sync_period = _sync_period(cfg)
+    for cur_iter, batch in enumerate(loader):
+        # preemption during eval: abort promptly (eval results are
+        # recomputable; the caller commits a checkpoint and exits). Same
+        # agreed-flag discipline as the train loop — the eval_step is a
+        # collective too
+        stop = _PREEMPTED.is_set()
+        if multihost:
+            stop = (_agreed_preempted(cfg)
+                    if cur_iter % sync_period == 0 else False)
+        if stop:
+            logger.info("Preemption: aborting eval at iter %d.", cur_iter)
+            return None
         host_batch = {"video": batch["video"], "labels": batch["label"]}
         for extra_key in ("label_verb", "label_noun"):
             if extra_key in batch:

@@ -56,14 +56,17 @@ def get_last_checkpoint(cfg):
     return os.path.abspath(os.path.join(d, sorted(names)[-1]))
 
 
-def prune_old_checkpoints(cfg, in_flight=0):
+def prune_old_checkpoints(cfg):
     """Retention GC: keep only the newest ``TRAIN.CHECKPOINT_KEEP_LAST``
-    checkpoints (-1/0 = keep all, the default and the reference's only
-    behavior — utils/checkpoint.py:102 never deletes). Multi-host: only the
-    primary process deletes (shared OUTPUT_DIR); deletion is of COMMITTED
-    dirs only (an in-flight async save lives under an ``.orbax-...-tmp``
-    name the pattern doesn't match). ``in_flight``: count of saves issued
-    but not yet visible, so sync and async callers keep the same total."""
+    COMMITTED checkpoints (-1/0 = keep all, the default and the reference's
+    only behavior — utils/checkpoint.py:102 never deletes). Multi-host:
+    only the primary process deletes (shared OUTPUT_DIR). Only committed
+    dirs are candidates (an in-flight async save lives under an
+    ``.orbax-...-tmp`` name the pattern doesn't match), and the caller
+    sequences the call so the durable count never drops below ``keep``:
+    sync saves prune AFTER commit; async saves prune BEFORE issuing the new
+    save (pruning after would count the uncommitted save and could delete
+    the last durable checkpoint)."""
     keep = int(cfg.TRAIN.get("CHECKPOINT_KEEP_LAST", -1) or -1)
     if keep <= 0:
         return
@@ -76,8 +79,7 @@ def prune_old_checkpoints(cfg, in_flight=0):
     names = sorted(n for n in os.listdir(d)
                    if re.match(r"checkpoint_epoch_\d+(_iter_\d+)?$", n)
                    and os.path.isdir(os.path.join(d, n)))
-    n_keep = max(keep - in_flight, 0)
-    doomed = names[:-n_keep] if n_keep else names
+    doomed = names[:-keep]
     import shutil
     for name in doomed:
         path = os.path.join(d, name)
@@ -168,13 +170,17 @@ def save_checkpoint(cfg, state, cur_epoch, iter_in_epoch=None):
         payload["iter"] = np.asarray(iter_in_epoch, np.int32)
     if state.ema_variables is not None:
         payload["ema_variables"] = state.ema_variables
+    if async_save:
+        # retention GC BEFORE issuing the save: only committed dirs are
+        # candidates, so the durable count never drops below KEEP_LAST
+        # while the new save's commit is still in flight (the transient
+        # keep+1 after commit is trimmed by the next save)
+        prune_old_checkpoints(cfg)
     ckptr.save(path, payload, force=True)
     if not async_save:
         ckptr.wait_until_finished()
+        prune_old_checkpoints(cfg)
     logger.info("Saved checkpoint %s%s", path, " (async)" if async_save else "")
-    # retention GC after the save: in async mode the new dir is not yet
-    # committed/visible, so count it as in-flight to keep the same total
-    prune_old_checkpoints(cfg, in_flight=1 if async_save else 0)
     return path
 
 

@@ -119,6 +119,38 @@ def test_checkpoint_retention_keeps_last_n(tmp_path):
                      "checkpoint_epoch_00004_iter_0000001"], names
 
 
+def test_async_retention_never_drops_below_keep(tmp_path):
+    """CHECKPOINT_ASYNC + KEEP_LAST: pruning runs BEFORE the new save is
+    issued, so a crash while the async commit is in flight always leaves
+    the newest KEEP_LAST committed checkpoints on disk."""
+    import jax.numpy as jnp
+
+    from dist_tpu.tasks.state import TrainState
+    from dist_tpu.utils import checkpoint as cu
+
+    cfg = _cfg(tmp_path, "TRAIN.CHECKPOINT_ASYNC", "true",
+               "TRAIN.CHECKPOINT_KEEP_LAST", "1")
+    state = TrainState(step=jnp.asarray(0, jnp.int32),
+                       variables={"params": {"w": jnp.ones((2,))}},
+                       opt_state={"m": jnp.zeros((2,))}, ema_variables=None)
+    d = cu.checkpoint_dir(cfg)
+
+    def names():
+        return sorted(n for n in os.listdir(d)
+                      if n.startswith("checkpoint_"))
+
+    cu.save_checkpoint(cfg, state, cur_epoch=0)
+    cu.wait_until_finished()
+    assert names() == ["checkpoint_epoch_00001"]
+    cu.save_checkpoint(cfg, state, cur_epoch=1)
+    cu.wait_until_finished()
+    # transient keep+1: epoch 1 stays durable until the NEXT save prunes
+    assert names() == ["checkpoint_epoch_00001", "checkpoint_epoch_00002"]
+    cu.save_checkpoint(cfg, state, cur_epoch=2)
+    cu.wait_until_finished()
+    assert names() == ["checkpoint_epoch_00002", "checkpoint_epoch_00003"]
+
+
 @pytest.mark.slow
 def test_preempt_resume_matches_uninterrupted(tmp_path):
     """Fault-inject a preemption after 1 of 4 steps; resuming completes the
