@@ -1,0 +1,112 @@
+"""Ahead-of-time model export (StableHLO via ``jax.export``).
+
+The deployment artifact story the reference lacks entirely (its only
+"export" is a torch ``.pyth`` pickle that needs the full framework to
+run): serialize the compiled fixed-shape predictor — weights, cached
+label-text features, preprocessing and head activation baked in — to one
+self-contained blob that any JAX runtime (same or newer jaxlib) can
+deserialize and run WITHOUT this framework, its configs, or its
+checkpoint loaders.
+
+- **Multi-platform lowering**: export once with ``platforms=("cpu",
+  "tpu")`` and the artifact runs on either backend (dev-box smoke test of
+  the exact bytes that ship to the pod).
+- **Fixed shapes**: the artifact accepts uint8 ``(B, T, S, S, 3)`` at the
+  export-time batch/frames/crop — the same static-shape contract the
+  serving engine compiles (engine.py), so the batcher pads identically.
+- The predictor is the SAME function the serving engine runs
+  (``make_eval_step``'s prediction path: uint8 normalize -> backbone ->
+  head eval activation), so exported scores match in-process serving
+  bit-for-bit on the same platform.
+"""
+
+import json
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dist_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+META_SUFFIX = ".json"
+
+
+def export_predictor(cfg, batch_size=8, platforms=("cpu", "tpu")):
+    """Build the serving predictor for ``cfg`` (checkpoint resolution and
+    label-text setup exactly as the serving engine / test task) and export
+    it. Returns ``(blob: bytes, meta: dict)``."""
+    from dist_tpu.serving.engine import InferenceEngine
+    from dist_tpu.tasks.state import make_eval_step
+
+    engine = InferenceEngine(cfg, batch_size=batch_size)
+    state, text_features = engine.state, engine.text_features
+    step = make_eval_step(engine.model, cfg)
+
+    def predict(video_u8):
+        batch = {"video": video_u8,
+                 "labels": jnp.zeros((batch_size,), jnp.int32)}
+        if text_features is not None:
+            batch["text_features"] = text_features
+        # weights/text features are closed over -> baked into the module
+        # as constants: the artifact is self-contained. Unused metric
+        # outputs are dead-code-eliminated by XLA.
+        return step(state, batch)["preds"]
+
+    spec = jax.ShapeDtypeStruct(
+        (batch_size, engine.num_frames, engine.crop, engine.crop, 3),
+        jnp.uint8)
+    exported = jax.export.export(jax.jit(predict),
+                                 platforms=list(platforms))(spec)
+    meta = {
+        "batch_size": batch_size,
+        "num_frames": engine.num_frames,
+        "crop": engine.crop,
+        "num_classes": engine.num_classes,
+        "label_names": engine.label_names,
+        "platforms": list(platforms),
+        "input": "uint8 (B, T, S, S, 3)",
+        "output": f"float32 (B, {engine.num_classes}) class scores",
+    }
+    return exported.serialize(), meta
+
+
+def save_exported(path, blob, meta):
+    """Write ``<path>`` (the serialized module) + ``<path>.json`` sidecar."""
+    with open(path, "wb") as f:
+        f.write(blob)
+    with open(path + META_SUFFIX, "w") as f:
+        json.dump(meta, f, indent=1)
+    logger.info("Exported %s (%.1f MiB) + %s", path, len(blob) / 2**20,
+                path + META_SUFFIX)
+
+
+def load_predictor(path):
+    """Deserialize an exported artifact -> ``(predict, meta)``.
+
+    ``predict(clips)`` takes uint8 ``(n <= B, T, S, S, 3)`` (padded to the
+    exported batch) and returns ``(n, num_classes)`` scores. Needs only
+    jax — no framework config, checkpoint, or model code."""
+    with open(path, "rb") as f:
+        exported = jax.export.deserialize(bytearray(f.read()))
+    meta_path = path + META_SUFFIX
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    batch = exported.in_avals[0].shape[0]
+    call = jax.jit(exported.call)
+
+    def predict(clips):
+        clips = np.asarray(clips)
+        n = clips.shape[0]
+        assert n <= batch, (n, batch)
+        if n < batch:
+            pad = np.zeros((batch - n,) + clips.shape[1:], clips.dtype)
+            clips = np.concatenate([clips, pad], axis=0)
+        return np.asarray(call(clips))[:n]
+
+    return predict, meta
