@@ -112,6 +112,16 @@ def pipeline_stack(body, stacked_params, x, *, mesh, n_microbatches=0,
     m_req = int(n_microbatches) or stages
     m_micro = max(m for m in range(1, min(m_req, n // dp) + 1)
                   if (n // dp) % m == 0)
+    if m_micro < m_req:
+        # the silent case is a real throughput cliff: m_micro=1 serializes
+        # the stages entirely (bubble (S-1)/S) while the knob looks honored
+        from dist_tpu.utils.logging import get_logger
+        get_logger(__name__).warning(
+            "pipeline: clamped microbatches %d -> %d (per-data-shard rows "
+            "%d admit no larger divisor); bubble fraction %.0f%% — raise "
+            "the batch or lower TPU.PIPE_MICROBATCHES",
+            m_req, m_micro, n // dp,
+            100.0 * (stages - 1) / (m_micro + stages - 1))
     mb = n // m_micro
     xm = x.reshape((m_micro, mb) + x.shape[1:])
     ring = [(i, (i + 1) % stages) for i in range(stages)]

@@ -29,24 +29,53 @@ class MicroBatcher:
     ``InferenceEngine.predict``). ``submit`` one clip ``(...)``, get a
     Future of its ``(C,)`` score row."""
 
-    def __init__(self, predict_fn, max_batch=8, max_delay_ms=10.0):
+    def __init__(self, predict_fn, max_batch=8, max_delay_ms=10.0,
+                 max_queue=None):
         self._predict = predict_fn
         self.max_batch = int(max_batch)
         self.max_delay = float(max_delay_ms) / 1000.0
-        self._q = queue.Queue()
+        # BOUNDED queue = backpressure: under overload submit fails fast
+        # (the server maps it to 503) instead of buffering clips and device
+        # work without limit until OOM
+        self._q = queue.Queue(maxsize=int(max_queue or 32 * self.max_batch))
         self._stop = threading.Event()
         self._lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "batched_clips": 0,
-                      "errors": 0, "latency_ms_sum": 0.0,
+                      "errors": 0, "rejected": 0, "latency_ms_sum": 0.0,
                       "latency_ms_max": 0.0}
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="microbatcher")
         self._thread.start()
 
     def submit(self, clip) -> Future:
+        """Raises ``queue.Full`` when the backlog bound is hit (overload)
+        and ``RuntimeError`` after ``close()`` — a silently-enqueued item
+        would never resolve."""
+        if self._stop.is_set():
+            raise RuntimeError("MicroBatcher is closed")
         fut = Future()
-        self._q.put((np.asarray(clip), fut, time.perf_counter()))
+        try:
+            self._q.put_nowait((np.asarray(clip), fut, time.perf_counter()))
+        except queue.Full:
+            with self._lock:
+                self.stats["rejected"] += 1
+            raise
         return fut
+
+    @staticmethod
+    def _resolve(fut, value=None, exc=None):
+        """set_result/set_exception tolerant of a concurrent caller-side
+        cancel — an InvalidStateError escaping the dispatch loop would kill
+        the thread and hang every future submit."""
+        try:
+            if fut.cancelled():
+                return
+            if exc is not None:
+                fut.set_exception(exc)
+            else:
+                fut.set_result(value)
+        except Exception:  # InvalidStateError: lost the race to cancel()
+            pass
 
     def _gather(self):
         """Block for one request, then fill the batch until full or the
@@ -75,8 +104,7 @@ class MicroBatcher:
         with self._lock:
             self.stats["errors"] += len(items)
         for _, fut, _ in items:
-            if not fut.cancelled():
-                fut.set_exception(exc)
+            self._resolve(fut, exc=exc)
 
     def _run_batch(self, items):
         clips = np.stack([c for c, _, _ in items])
@@ -96,8 +124,7 @@ class MicroBatcher:
                 self.stats["latency_ms_max"] = max(
                     self.stats["latency_ms_max"], ms)
         for i, (_, fut, _) in enumerate(items):
-            if not fut.cancelled():
-                fut.set_result(scores[i])
+            self._resolve(fut, value=scores[i])
 
     def _loop(self):
         while not self._stop.is_set():
@@ -126,3 +153,11 @@ class MicroBatcher:
     def close(self):
         self._stop.set()
         self._thread.join(timeout=5.0)
+        # fail anything still queued: an abandoned item's caller would
+        # otherwise block its full result timeout
+        while True:
+            try:
+                _, fut, _ = self._q.get_nowait()
+            except queue.Empty:
+                break
+            self._resolve(fut, exc=RuntimeError("MicroBatcher closed"))

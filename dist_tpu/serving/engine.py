@@ -57,8 +57,19 @@ class InferenceEngine:
         state = _init_test_state(cfg, self.model, {"video": np.zeros(
             (1, self.num_frames, self.crop, self.crop, 3), np.float32)})
         self.state = cu.load_test_checkpoint(cfg, state)
+        with self.mesh:
+            # commit the weights to the mesh ONCE (as tasks/test.py does):
+            # without this, every predict re-places the full state from the
+            # default device (per-request GBs on multi-chip meshes)
+            from dist_tpu.parallel.mesh import shard_params
+            self.state = shard_params(self.mesh, self.state,
+                                      fsdp=bool(cfg.TPU.get("FSDP", False)))
         self.label_names, self.text_features = self._label_setup()
-        self._step = jax.jit(make_eval_step(self.model, cfg))
+        eval_step = make_eval_step(self.model, cfg)
+        # return ONLY preds from the jit: the step's top-k metrics over the
+        # dummy labels are then dead-code-eliminated instead of computed
+        # per request
+        self._step = jax.jit(lambda s, b: eval_step(s, b)["preds"])
         self._compiled = False
 
     def _label_setup(self):
@@ -70,10 +81,19 @@ class InferenceEngine:
 
         cfg = self.cfg
         names, tokens = None, None
+        # text features only for text-classifier models (the test task's
+        # gate is the dataset's text_tokens, built under the same flags,
+        # tasks/test.py:64); a labels.json next to a conv model's
+        # annotations supplies display NAMES only — calling encode_text on
+        # a non-CLIP model would AttributeError at engine construction
+        use_text = (bool(cfg.DATA.DATASET_LABEL_TEXT.ENABLE)
+                    or "Text" in str(cfg.VIDEO.HEAD.NAME))
         anno = cfg.DATA.ANNO_DIR or ""
         if anno and os.path.exists(os.path.join(anno, "labels.json")):
             names, tokens = load_label_texts(cfg, anno)
-        elif "Text" in str(cfg.VIDEO.HEAD.NAME):
+            if not use_text:
+                tokens = None
+        elif use_text:
             from dist_tpu.data.tokenizer import tokenize
             tokens = tokenize([f"a video of class {i}"
                                for i in range(self.num_classes)])
@@ -122,7 +142,7 @@ class InferenceEngine:
                 batch = shard_batch(self.mesh, batch)
             if self.text_features is not None:
                 batch["text_features"] = self.text_features
-            preds = self._step(self.state, batch)["preds"]
+            preds = self._step(self.state, batch)
             out = np.asarray(jax.device_get(preds))[:n]
         self._compiled = True  # readiness even when warmup() was skipped
         return out

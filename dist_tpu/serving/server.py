@@ -59,11 +59,26 @@ def _make_handler(engine: InferenceEngine, batcher: MicroBatcher):
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 
+        # the largest clip any config serves is a few MB of uint8; cap the
+        # attacker-controlled Content-Length well above that but far below
+        # anything that could buffer the host into OOM
+        MAX_BODY = 64 * 2**20
+
         def do_POST(self):
             # ALWAYS drain the body first: responding without reading it
             # would desync the keep-alive connection (the unread clip bytes
             # would parse as the next request line)
-            length = int(self.headers.get("Content-Length", "0"))
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                self.close_connection = True
+                self._json(400, {"error": "bad Content-Length"})
+                return
+            if length > self.MAX_BODY:
+                # can't cheaply drain gigabytes; drop the connection
+                self.close_connection = True
+                self._json(413, {"error": f"body {length} > {self.MAX_BODY}"})
+                return
             body = self.rfile.read(length)
             if not self.path.startswith("/v1/predict"):
                 self._json(404, {"error": f"unknown path {self.path}"})
@@ -87,7 +102,12 @@ def _make_handler(engine: InferenceEngine, batcher: MicroBatcher):
                 return
             t0 = time.perf_counter()
             try:
-                scores = batcher.submit(clip).result(timeout=120.0)
+                fut = batcher.submit(clip)
+            except Exception:  # bounded-queue backpressure / shutdown
+                self._json(503, {"error": "server overloaded, retry"})
+                return
+            try:
+                scores = fut.result(timeout=120.0)
             except Exception as e:
                 self._json(500, {"error": str(e)})
                 return

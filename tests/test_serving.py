@@ -62,6 +62,49 @@ def test_batcher_propagates_errors_and_recovers():
         b.close()
 
 
+def test_batcher_backpressure_and_close_semantics():
+    """Bounded queue: overload raises queue.Full (server maps to 503);
+    close() fails queued futures fast and rejects later submits; a
+    caller-side cancel racing set_result never kills the dispatch thread."""
+    import queue as queue_mod
+
+    from dist_tpu.serving.batcher import MicroBatcher
+
+    release = threading.Event()
+
+    def slow_predict(clips):
+        release.wait(timeout=10.0)
+        return np.zeros((clips.shape[0], 2), np.float32)
+
+    b = MicroBatcher(slow_predict, max_batch=1, max_delay_ms=1.0,
+                     max_queue=2)
+    try:
+        first = b.submit(np.zeros((2,), np.uint8))  # occupies the device
+        time.sleep(0.1)  # let the dispatch thread take it
+        queued = [b.submit(np.zeros((2,), np.uint8)) for _ in range(2)]
+        with pytest.raises(queue_mod.Full):
+            for _ in range(8):  # the bound must bite within max_queue
+                b.submit(np.zeros((2,), np.uint8))
+        assert b.snapshot()["rejected"] >= 1
+        # cancel racing the in-flight resolution must not kill the thread
+        queued[0].cancel()
+    finally:
+        release.set()
+        first.result(timeout=10.0)
+        b.close()
+    for f in queued:
+        if f.cancelled():
+            continue
+        try:
+            # either completed before close() or failed fast by its drain —
+            # the guarantee under test is NO HANG (the 1 s timeout)
+            f.result(timeout=1.0)
+        except Exception:
+            pass
+    with pytest.raises(RuntimeError):
+        b.submit(np.zeros((2,), np.uint8))
+
+
 def test_batcher_survives_mismatched_clip_shapes():
     """np.stack of a mixed-shape batch fails OUTSIDE predict_fn; that must
     fail those futures, not kill the dispatch thread (a dead thread would
