@@ -203,6 +203,14 @@ class Loader:
             pos += len(chunk)
             batches.append((chunk, seeds))
         if self.skip_batches:
+            # backstop (load_train_checkpoint validates the loader
+            # signature first): a skip past the whole epoch means the
+            # geometry changed — failing loudly beats training zero batches
+            # and checkpointing the epoch as complete
+            assert self.skip_batches < len(batches), (
+                f"resume skip {self.skip_batches} >= epoch length "
+                f"{len(batches)}: loader geometry changed since the "
+                "mid-epoch checkpoint")
             batches = batches[self.skip_batches:]
             self.skip_batches = 0
 

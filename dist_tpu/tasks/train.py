@@ -70,15 +70,36 @@ def _agreed_preempted(cfg):
 
 
 def _install_preemption_handler():
+    """Returns the previous SIGTERM disposition (to restore after the
+    train loop — leaving the flag-setting handler installed would swallow
+    SIGTERM for the rest of the process, e.g. the hours-long multi-view
+    test phase that follows train in the same run list), or None when not
+    on the main thread."""
     def _on_sigterm(signum, frame):
         logger.info("SIGTERM: will checkpoint at the next step boundary.")
         _PREEMPTED.set()
 
     try:
-        signal.signal(signal.SIGTERM, _on_sigterm)
+        return signal.signal(signal.SIGTERM, _on_sigterm)
     except ValueError:
         # not the main thread (embedded use); preemption save unavailable
         logger.info("Not installing SIGTERM handler (non-main thread).")
+        return None
+
+
+def _poll_stop(cfg, boundary_iter, multihost, sync_period):
+    """The uniform stop-flag poll shared by the train and eval loops:
+    single-host acts on the local flag (gated on SAVE_ON_PREEMPTION like
+    the multihost path, so the same config means the same semantics at any
+    process count); multihost acts only on the cross-host AGREED flag at
+    every ``sync_period``-th boundary."""
+    if not bool(cfg.TRAIN.get("SAVE_ON_PREEMPTION", True)):
+        return False
+    if multihost:
+        if (boundary_iter + 1) % sync_period:
+            return False
+        return _agreed_preempted(cfg)
+    return _PREEMPTED.is_set()
 
 
 def _text_features(cfg, model, state, dataset, mesh=None):
@@ -133,15 +154,42 @@ def train(cfg):
         val_meter = ValMeter(len(val_loader), cfg)
 
         _PREEMPTED.clear()
+        prev_sigterm = None
         if bool(cfg.TRAIN.get("SAVE_ON_PREEMPTION", True)):
-            _install_preemption_handler()
+            prev_sigterm = _install_preemption_handler()
         run_iters = [0]  # fault-injection counter (TRAIN.PREEMPT_AFTER_ITERS)
         if start_iter:
             logger.info("Mid-epoch resume: fold-epoch %d from iter %d",
                         start_epoch, start_iter)
             train_loader.set_skip_batches(start_iter)
 
-        for cur_epoch in range(start_epoch, cfg.OPTIMIZER.MAX_EPOCH, num_folds):
+        state_box = [state]
+        try:
+            _run_epochs(cfg, mesh, state_box, train_step,
+                        eval_step, ema_eval_step, train_loader, val_loader,
+                        train_meter, val_meter, rng, text_features,
+                        start_epoch, start_iter, num_folds, run_iters)
+            state = state_box[0]
+        finally:
+            if prev_sigterm is not None:
+                # restore the default disposition: after training, a
+                # preemption SIGTERM should terminate the process (the
+                # test/submission phases have nothing to checkpoint)
+                signal.signal(signal.SIGTERM, prev_sigterm)
+        cu.wait_until_finished()  # join an in-flight async checkpoint commit
+    return state
+
+
+def _run_epochs(cfg, mesh, state_box, train_step, eval_step, ema_eval_step,
+                train_loader, val_loader, train_meter, val_meter, rng,
+                text_features, start_epoch, start_iter, num_folds, run_iters):
+    """The epoch loop, split out of train() so the SIGTERM handler can be
+    restored in a finally regardless of how the loop exits. ``state_box``
+    carries the evolving TrainState back to the caller (SystemExit on a
+    preemption save skips any return value)."""
+    state = state_box[0]
+    for cur_epoch in range(start_epoch, cfg.OPTIMIZER.MAX_EPOCH, num_folds):
+            state_box[0] = state
             shuffle_dataset(train_loader, cur_epoch)
             if hasattr(train_loader.dataset, "set_epoch_rate"):
                 # explicit curriculum progress (replaces the reference's
@@ -198,8 +246,7 @@ def train(cfg):
                     # eval_epoch aborts early on the agreed flag; commit a
                     # checkpoint and exit before starting another epoch
                     _exit_preempted(saved_this_epoch)
-        cu.wait_until_finished()  # join an in-flight async checkpoint commit
-    return state
+    state_box[0] = state
 
 
 def train_epoch(cfg, mesh, state, train_step, loader, meter, cur_epoch, rng,
@@ -208,8 +255,12 @@ def train_epoch(cfg, mesh, state, train_step, loader, meter, cur_epoch, rng,
     completed epoch, else the number of batches of this fold-epoch already
     consumed (incl. any resumed prefix) — the caller checkpoints it and
     exits."""
+    # fault injection: N >= 0 triggers at the first step boundary once N
+    # steps have run (so 0 and 1 both fire after the 1st step — a mid-epoch
+    # save at iter 0 would be identical to the previous checkpoint);
+    # -1/None disables
     raw = cfg.TRAIN.get("PREEMPT_AFTER_ITERS", -1)
-    preempt_after = -1 if raw is None else int(raw)  # 0 = before 1st step
+    preempt_after = -1 if raw is None else int(raw)
     multihost = jax.process_count() > 1
     sync_period = _sync_period(cfg)
     meter.iter_tic()
@@ -254,18 +305,16 @@ def train_epoch(cfg, mesh, state, train_step, loader, meter, cur_epoch, rng,
             run_iters[0] += 1
             if 0 <= preempt_after <= run_iters[0]:
                 _PREEMPTED.set()  # fault injection: simulate the SIGTERM
-        stop = _PREEMPTED.is_set()
-        if multihost:
-            # act only on the cross-host AGREED flag, polled at uniform
-            # step boundaries (every host reaches the same cur_iter) —
-            # local-flag exits would desynchronize the step collectives
-            stop = (_agreed_preempted(cfg)
-                    if (cur_iter + 1) % sync_period == 0 else False)
-        if stop:
+        if _poll_stop(cfg, cur_iter, multihost, sync_period):
             consume(*pending)
             return state, iter_offset + cur_iter + 1
     if pending is not None:
         consume(*pending)
+    if iter_offset:
+        # the meter only saw the replayed tail; label the summary so the
+        # resumed epoch's loss point isn't read as a full-epoch average
+        logger.info("fold-epoch %d summary below covers iters %d+ only "
+                    "(mid-epoch resume)", cur_epoch, iter_offset)
     meter.log_epoch_stats(cur_epoch + int(cfg.TRAIN.get("NUM_FOLDS", 1)) - 1)
     meter.reset()
     return state, None
@@ -282,11 +331,7 @@ def eval_epoch(cfg, mesh, state, eval_step, loader, meter, cur_epoch,
         # recomputable; the caller commits a checkpoint and exits). Same
         # agreed-flag discipline as the train loop — the eval_step is a
         # collective too
-        stop = _PREEMPTED.is_set()
-        if multihost:
-            stop = (_agreed_preempted(cfg)
-                    if cur_iter % sync_period == 0 else False)
-        if stop:
+        if _poll_stop(cfg, cur_iter, multihost, sync_period):
             logger.info("Preemption: aborting eval at iter %d.", cur_iter)
             return None
         host_batch = {"video": batch["video"], "labels": batch["label"]}

@@ -42,18 +42,25 @@ def _ckpt_path(cfg, epoch, iter_in_epoch=None):
     return os.path.abspath(os.path.join(checkpoint_dir(cfg), name))
 
 
-def get_last_checkpoint(cfg):
-    """Latest checkpoint dir or None (checkpoint.py:62-75). Lexicographic
-    order is chronological for both epoch and mid-epoch names."""
+def _list_checkpoints(cfg):
+    """Committed checkpoint dir names under OUTPUT_DIR/checkpoints, sorted
+    chronologically (lexicographic == chronological for both epoch and
+    mid-epoch names; an in-flight orbax save lives under an
+    ``.orbax-...-tmp`` name the pattern excludes)."""
     d = checkpoint_dir(cfg)
     if not os.path.isdir(d):
-        return None
-    names = [n for n in os.listdir(d)
-             if re.match(r"checkpoint_epoch_\d+(_iter_\d+)?$", n)
-             and os.path.isdir(os.path.join(d, n))]
+        return []
+    return sorted(n for n in os.listdir(d)
+                  if re.match(r"checkpoint_epoch_\d+(_iter_\d+)?$", n)
+                  and os.path.isdir(os.path.join(d, n)))
+
+
+def get_last_checkpoint(cfg):
+    """Latest checkpoint dir or None (checkpoint.py:62-75)."""
+    names = _list_checkpoints(cfg)
     if not names:
         return None
-    return os.path.abspath(os.path.join(d, sorted(names)[-1]))
+    return os.path.abspath(os.path.join(checkpoint_dir(cfg), names[-1]))
 
 
 def prune_old_checkpoints(cfg):
@@ -74,12 +81,7 @@ def prune_old_checkpoints(cfg):
     if jax.process_index() != 0:
         return
     d = checkpoint_dir(cfg)
-    if not os.path.isdir(d):
-        return
-    names = sorted(n for n in os.listdir(d)
-                   if re.match(r"checkpoint_epoch_\d+(_iter_\d+)?$", n)
-                   and os.path.isdir(os.path.join(d, n)))
-    doomed = names[:-keep]
+    doomed = _list_checkpoints(cfg)[:-keep]
     import shutil
     for name in doomed:
         path = os.path.join(d, name)
@@ -88,6 +90,20 @@ def prune_old_checkpoints(cfg):
             logger.info("Pruned old checkpoint %s (KEEP_LAST=%d)", path, keep)
         except OSError as e:  # never fail training over GC
             logger.warning("Could not prune %s: %s", path, e)
+
+
+def _loader_signature(cfg):
+    """What the per-host batch stream is a function of: a mid-epoch
+    checkpoint's recorded iter only resumes correctly when these match at
+    restore (seed + local batch size + host count + folds). Stored with
+    every mid-epoch save; compared on load."""
+    import jax
+    from dist_tpu.parallel.mesh import config_data_axis_size
+    scale = max(config_data_axis_size(cfg) // jax.process_count(), 1)
+    return np.asarray([int(cfg.RANDOM_SEED),
+                       int(cfg.TRAIN.BATCH_SIZE) * scale,
+                       jax.process_count(),
+                       int(cfg.TRAIN.get("NUM_FOLDS", 1))], np.int64)
 
 
 def is_checkpoint_epoch(cfg, cur_epoch):
@@ -168,6 +184,7 @@ def save_checkpoint(cfg, state, cur_epoch, iter_in_epoch=None):
     }
     if iter_in_epoch is not None:
         payload["iter"] = np.asarray(iter_in_epoch, np.int32)
+        payload["loader_sig"] = _loader_signature(cfg)
     if state.ema_variables is not None:
         payload["ema_variables"] = state.ema_variables
     if async_save:
@@ -304,6 +321,7 @@ def load_train_checkpoint(cfg, state):
                    "variables": state.variables, "opt_state": state.opt_state}
         if "_iter_" in os.path.basename(path):
             payload["iter"] = np.asarray(0, np.int32)
+            payload["loader_sig"] = np.zeros(4, np.int64)
         if state.ema_variables is not None:
             payload["ema_variables"] = state.ema_variables
         restored = load_checkpoint(path, payload)
@@ -311,7 +329,25 @@ def load_train_checkpoint(cfg, state):
             step=restored["step"], variables=restored["variables"],
             opt_state=restored["opt_state"],
             ema_variables=restored.get("ema_variables", state.ema_variables))
-        return state, int(restored["epoch"]), int(restored.get("iter", 0))
+        start_iter = int(restored.get("iter", 0))
+        if start_iter:
+            saved_sig = np.asarray(restored["loader_sig"])
+            want_sig = _loader_signature(cfg)
+            if not np.array_equal(saved_sig, want_sig):
+                # the recorded iter indexes a DIFFERENT batch stream now —
+                # silently skipping would drop/replay the wrong samples (or
+                # an entire epoch when the skip exceeds the shorter stream).
+                # Replaying the fold-epoch from iter 0 only repeats the
+                # prefix, which is benign.
+                logger.warning(
+                    "Mid-epoch resume: loader geometry changed since the "
+                    "preemption save ([seed, local_batch, hosts, folds] "
+                    "%s -> %s); restarting fold-epoch %d from iter 0 "
+                    "instead of skipping %d batches.",
+                    saved_sig.tolist(), want_sig.tolist(),
+                    int(restored["epoch"]), start_iter)
+                start_iter = 0
+        return state, int(restored["epoch"]), start_iter
     ckpt = cfg.TRAIN.CHECKPOINT_FILE_PATH
     if ckpt:
         assert cfg.TRAIN.CHECKPOINT_TYPE != "caffe2", (

@@ -68,6 +68,31 @@ def test_mid_epoch_checkpoint_roundtrip(tmp_path):
     assert (cfg.OPTIMIZER.MAX_EPOCH - start_epoch) % 2 == 0
 
 
+def test_mid_epoch_resume_rejects_changed_loader_geometry(tmp_path):
+    """A mid-epoch checkpoint records the loader signature (seed, local
+    batch, hosts, folds); resuming with a different geometry must restart
+    the fold-epoch from iter 0 instead of skipping the wrong prefix."""
+    import jax.numpy as jnp
+
+    from dist_tpu.tasks.state import TrainState
+    from dist_tpu.utils import checkpoint as cu
+
+    cfg = _cfg(tmp_path, "TRAIN.AUTO_RESUME", "true", "TRAIN.BATCH_SIZE", "2")
+    state = TrainState(step=jnp.asarray(3, jnp.int32),
+                       variables={"params": {"w": jnp.ones((2,))}},
+                       opt_state={"m": jnp.zeros((2,))}, ema_variables=None)
+    cu.save_checkpoint(cfg, state, cur_epoch=0, iter_in_epoch=5)
+
+    same = _cfg(tmp_path, "TRAIN.AUTO_RESUME", "true", "TRAIN.BATCH_SIZE", "2")
+    _, epoch, start_iter = cu.load_train_checkpoint(same, state)
+    assert (epoch, start_iter) == (0, 5)
+
+    changed = _cfg(tmp_path, "TRAIN.AUTO_RESUME", "true",
+                   "TRAIN.BATCH_SIZE", "4")
+    _, epoch, start_iter = cu.load_train_checkpoint(changed, state)
+    assert (epoch, start_iter) == (0, 0)  # geometry changed -> replay epoch
+
+
 def test_async_checkpoint_commit(tmp_path):
     """TRAIN.CHECKPOINT_ASYNC: the save returns before commit;
     wait_until_finished makes it durable and byte-identical."""
