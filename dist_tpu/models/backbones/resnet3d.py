@@ -40,6 +40,7 @@ from dist_tpu.models.precision import (
     fp32_island,
     maybe_bf16_input,
 )
+from dist_tpu.models.base.bn import bn_running
 
 _N_CONV_RESNET = {
     10: (1, 1, 1, 1),
@@ -104,7 +105,7 @@ class ConvBN(nn.Module):
                     kernel_init=nn.initializers.he_normal(), name="conv")(x)
         if self.use_bn:
             x = fp32_island(
-                nn.BatchNorm(use_running_average=not train,
+                nn.BatchNorm(use_running_average=bn_running(train),
                              momentum=1.0 - self.bn_mmt, epsilon=self.bn_eps,
                              name="bn"), x)
         if self.relu:
@@ -231,7 +232,7 @@ class NonLocal(nn.Module):
         out = out.reshape(x.shape[:-1] + (inner,))
         out = nn.Conv(dim, (1, 1, 1), dtype=dt, name="out")(out)
         out = fp32_island(
-            nn.BatchNorm(use_running_average=not train,
+            nn.BatchNorm(use_running_average=bn_running(train),
                          scale_init=nn.initializers.zeros, name="bn"), out)
         return x + out
 

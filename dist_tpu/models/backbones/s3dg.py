@@ -18,6 +18,7 @@ from dist_tpu.models.precision import (
     fp32_island,
     maybe_bf16_input,
 )
+from dist_tpu.models.base.bn import bn_running
 
 
 class InceptionBaseConv3D(nn.Module):
@@ -36,7 +37,7 @@ class InceptionBaseConv3D(nn.Module):
                     strides=(s, s, s) if isinstance(s, int) else s,
                     padding=pad, use_bias=False, dtype=compute_dtype(x),
                     name="conv")(x)
-        x = fp32_island(nn.BatchNorm(use_running_average=not train,
+        x = fp32_island(nn.BatchNorm(use_running_average=bn_running(train),
                                      name="bn"), x)
         return nn.relu(x)
 
@@ -56,13 +57,13 @@ class STConv3d(nn.Module):
         x = nn.Conv(self.features, (1, k, k), strides=(1, s, s),
                     padding=((0, 0), (k // 2, k // 2), (k // 2, k // 2)),
                     use_bias=False, dtype=compute_dtype(x), name="conv")(x)
-        x = fp32_island(nn.BatchNorm(use_running_average=not train,
+        x = fp32_island(nn.BatchNorm(use_running_average=bn_running(train),
                                      name="bn"), x)
         x = nn.relu(x)
         x = nn.Conv(self.features, (k, 1, 1), strides=(s, 1, 1),
                     padding=((k // 2, k // 2), (0, 0), (0, 0)),
                     use_bias=False, dtype=compute_dtype(x), name="conv2")(x)
-        x = fp32_island(nn.BatchNorm(use_running_average=not train,
+        x = fp32_island(nn.BatchNorm(use_running_average=bn_running(train),
                                      name="bn2"), x)
         return nn.relu(x)
 

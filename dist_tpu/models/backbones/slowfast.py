@@ -34,6 +34,7 @@ from dist_tpu.models.precision import (
 )
 
 import jax
+from dist_tpu.models.base.bn import bn_running
 
 
 @BRANCH_REGISTRY.register()
@@ -48,7 +49,12 @@ class SlowfastBranch(nn.Module):
         s = self.spec
         k, st = s["kernel_size"], s["stride"]
         exp = s["num_filters"] // s["expansion_ratio"]
-        kt = k[0] if s.get("temporal_conv_bottleneck", False) else 1
+        # the reference's bottleneck 'a' conv is a FIXED (3,1,1) when the
+        # stage's TEMPORAL_CONV_BOTTLENECK flag is set — independent of
+        # KERNEL_SIZE (which is [1,3,3] for those stages in the shipped
+        # configs; slowfast_branch.py:51-53). Deriving kt from k[0] would
+        # silently drop all temporal convolution from the towers.
+        kt = 3 if s.get("temporal_conv_bottleneck", False) else 1
         if s["transformation"] == "simple_block":
             x = ConvBN(s["num_filters"], k, st, name="a")(x, train)
             x = ConvBN(s["num_filters"], k, relu=False, name="b")(x, train)
@@ -137,7 +143,7 @@ class FuseFastToSlow(nn.Module):
                        name="conv_f2s")(x_fast)
         if sf.get("FUSION_BN", True):
             fuse = fp32_island(
-                nn.BatchNorm(use_running_average=not train, name="bn"), fuse)
+                nn.BatchNorm(use_running_average=bn_running(train), name="bn"), fuse)
         if sf.get("FUSION_RELU", True):
             fuse = nn.relu(fuse)
         return jnp.concatenate([x_slow, fuse], axis=-1), x_fast

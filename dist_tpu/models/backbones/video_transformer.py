@@ -212,8 +212,12 @@ class TimesformerLayer(nn.Module):
         cfg = self.cfg
         bb = cfg.VIDEO.BACKBONE
         dim, heads = bb.NUM_FEATURES, bb.NUM_HEADS
-        f = cfg.DATA.NUM_INPUT_FRAMES
-        n = (cfg.DATA.TRAIN_CROP_SIZE // bb.PATCH_SIZE) ** 2
+        f = cfg.DATA.NUM_INPUT_FRAMES // int(bb.get("TUBELET_SIZE", 1) or 1)
+        # patches per frame from the ACTUAL token count — deriving it from
+        # TRAIN_CROP_SIZE would mis-group tokens (or crash) whenever eval/
+        # serving runs at a different resolution
+        n = (x.shape[1] - 1) // f
+        assert (x.shape[1] - 1) == f * n, (x.shape, f)
         dp = DropPath(self.drop_path_rate)
 
         # temporal: tokens laid out (f, n) -> group by patch position.
@@ -263,15 +267,34 @@ class VideoTransformer(nn.Module):
             x = x["video"]
         x = maybe_bf16_input(cfg, x)
         dim = bb.NUM_FEATURES
+        p = bb.PATCH_SIZE
+        h, w = x.shape[2], x.shape[3]
+        n_per_frame = (h // p) * (w // p)
+        train_per_frame = (cfg.DATA.TRAIN_CROP_SIZE // p) ** 2
+
         stem_cls = STEM_REGISTRY.get_strict(bb.STEM.NAME)
         x = stem_cls(cfg, name="stem")(x, train)
         b, num_patches, _ = x.shape
+        frames_tok = num_patches // n_per_frame
 
         cls = self.param("cls_token", nn.initializers.truncated_normal(0.02), (1, 1, dim))
         x = jnp.concatenate(
             [jnp.broadcast_to(cls, (b, 1, dim)).astype(x.dtype), x], axis=1)
+        # pos embed is sized at the TRAIN resolution; evaluating at another
+        # crop (e.g. hico++ ft_vit-s trains 112, evals 128) bilinear-resizes
+        # each frame's spatial grid on the fly (same scheme as
+        # FactorizedTransformer / reference transformer.py:370-390)
         pos = self.param("pos_embd", nn.initializers.truncated_normal(0.02),
-                         (1, num_patches + 1, dim))
+                         (1, frames_tok * train_per_frame + 1, dim))
+        if n_per_frame != train_per_frame:
+            side0 = int(round(train_per_frame ** 0.5))
+            side1 = int(round(n_per_frame ** 0.5))
+            grid = pos[:, 1:].reshape(frames_tok, side0, side0, dim)
+            grid = jax.image.resize(grid, (frames_tok, side1, side1, dim),
+                                    "bilinear")
+            pos = jnp.concatenate(
+                [pos[:, :1], grid.reshape(1, frames_tok * n_per_frame, dim)],
+                axis=1)
         x = x + pos.astype(x.dtype)
 
         depth = bb.DEPTH

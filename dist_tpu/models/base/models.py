@@ -81,6 +81,9 @@ class BaseHeadx2(nn.Module):
             o = nn.Dense(self.num_classes[i], name=f"out{i + 1}")(x)
             if not train and self.activation == "softmax":
                 o = jax.nn.softmax(o.astype(jnp.float32), axis=-1)
+            elif not train and self.activation == "sigmoid":
+                # same eval-activation contract as the single-task heads
+                o = jax.nn.sigmoid(o.astype(jnp.float32))
             outs[key] = o
         return outs, feat
 
@@ -187,25 +190,32 @@ class VideoModel:
             mvars["batch_stats"] = variables["batch_stats"]
         new_stats = {}
         # BN.FREEZE runs BatchNorm on running stats even while training
-        # (reference BaseVideoModel.train, models/base/models.py:60-67)
+        # (reference BaseVideoModel.train walks ONLY the BN modules into
+        # eval mode, models/base/models.py:60-67). The freeze travels
+        # through the bn module's trace-time flag so dropout/stochastic
+        # depth keep their train behavior — passing train=False to the
+        # whole backbone would silently disable those regularizers too.
+        from dist_tpu.models.base.bn import set_bn_frozen
         freeze_bn = bool(self.cfg.BN.get("FREEZE", False)) if self.cfg else False
-        bb_train = train and not freeze_bn
+        set_bn_frozen(freeze_bn)
         if self._is_clip:
             out = self.module.apply(mvars, video,
                                     inputs.get("text_features"), rngs=rngs)
-        elif "batch_stats" in mvars and bb_train:
+        elif "batch_stats" in mvars and train and not freeze_bn:
             out, updated = self.module.apply(
                 mvars, video, train=True, rngs=rngs, mutable=["batch_stats"])
             new_stats["batch_stats"] = updated["batch_stats"]
         else:
-            out = self.module.apply(mvars, video, train=bb_train, rngs=rngs)
+            # frozen BN reads running stats via the bn flag; train keeps
+            # its true value so dropout/droppath still fire during training
+            out = self.module.apply(mvars, video, train=train, rngs=rngs)
         if self.head is None:
             preds, logits = out, out
         else:
             head_vars = {"params": variables.get("head", {})}
             if "head_stats" in variables:
                 head_vars["batch_stats"] = variables["head_stats"]
-                if bb_train:
+                if train and not freeze_bn:
                     (preds, logits), hupd = self.head.apply(
                         head_vars, out, train=True, rngs=rngs,
                         mutable=["batch_stats"])
@@ -241,6 +251,13 @@ class VideoModel:
         (models/base/base_blocks.py:36-61, cfg.VISUALIZATION.*). Returns
         (preds, intermediates pytree)."""
         video = inputs["video"]
+        if hasattr(video, "ndim") and video.ndim == 6:
+            # SSL multi-view batches ship (B, n_views, T, H, W, C); the
+            # backbone takes rank-5 (same flatten as apply())
+            video = video.reshape((-1,) + video.shape[2:])
+        from dist_tpu.models.base.bn import set_bn_frozen
+        set_bn_frozen(bool(self.cfg.BN.get("FREEZE", False))
+                      if self.cfg else False)
         mvars = {"params": variables["params"]}
         if "batch_stats" in variables:
             mvars["batch_stats"] = variables["batch_stats"]

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from dist_tpu.models.base.models import BRANCH_REGISTRY
 from dist_tpu.models.precision import compute_dtype, fp32_island
+from dist_tpu.models.base.bn import bn_running
 
 
 class RouteFuncMLP(nn.Module):
@@ -48,7 +49,7 @@ class RouteFuncMLP(nn.Module):
         h = nn.Conv(self.c_in // self.ratio, (self.kernels[0], 1, 1),
                     padding=((self.kernels[0] // 2,) * 2, (0, 0), (0, 0)),
                     name="a")(frame + g)
-        h = nn.BatchNorm(use_running_average=not train,
+        h = nn.BatchNorm(use_running_average=bn_running(train),
                          momentum=1.0 - self.bn_mmt, epsilon=self.bn_eps,
                          name="bn")(h)
         h = nn.relu(h)
@@ -99,7 +100,7 @@ class TAdaConvBlockAvgPool(nn.Module):
 
         def bn(name, zero=False):
             return nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                use_running_average=bn_running(train), momentum=0.9, epsilon=1e-5,
                 scale_init=nn.initializers.zeros if zero else nn.initializers.ones,
                 bias_init=nn.initializers.zeros, name=name)
 

@@ -27,6 +27,7 @@ from dist_tpu.models.precision import (
     fp32_island,
     maybe_bf16_input,
 )
+from dist_tpu.models.base.bn import bn_running
 
 
 class RouteFuncNeXt(nn.Module):
@@ -52,7 +53,7 @@ class RouteFuncNeXt(nn.Module):
                     padding=((self.kernels[0] // 2,) * 2, (0, 0), (0, 0)),
                     name="a")(frame + g)
         if self.route_type == "normal":
-            h = nn.BatchNorm(use_running_average=not train, name="bn")(h)
+            h = nn.BatchNorm(use_running_average=bn_running(train), name="bn")(h)
             h = nn.relu(h)
         else:
             h = nn.LayerNorm(epsilon=1e-6, name="ln")(h)

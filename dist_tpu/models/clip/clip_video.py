@@ -97,6 +97,12 @@ class CLIPDiSTModel(nn.Module):
 
     def encode_video(self, video):
         """video (B, T, H, W, 3) -> per-video embedding (B, embed_dim)."""
+        # the tower keeps ceil(T/alpha) frames via x[:, ::alpha] while every
+        # downstream reshape uses floor(T/alpha) — non-divisible alpha would
+        # silently regroup rows across videos (or crash); fail loudly
+        assert video.shape[1] % self.sparse_alpha == 0, (
+            f"NUM_INPUT_FRAMES ({video.shape[1]}) must be divisible by "
+            f"SPARSE_SAMPLE_ALPHA ({self.sparse_alpha})")
         cls_x, x_logits, taps = self.visual(
             video, collect_taps=self.dist is not None
         )

@@ -59,6 +59,11 @@ class DiSTConfig:
     @classmethod
     def from_cfg(cls, cfg):
         d = cfg.VIDEO.BACKBONE.DIST
+        assert int(cfg.DATA.NUM_INPUT_FRAMES) % int(
+            cfg.DATA.SPARSE_SAMPLE_ALPHA) == 0, (
+            "NUM_INPUT_FRAMES must be divisible by SPARSE_SAMPLE_ALPHA "
+            f"({cfg.DATA.NUM_INPUT_FRAMES} % {cfg.DATA.SPARSE_SAMPLE_ALPHA})"
+            " — every t = T/alpha reshape in the ladder assumes it")
         return cls(
             selected_layers=tuple(d.SELECTED_LAYERS),
             temporal_dim=d.TEMPORAL_DIM,

@@ -8,6 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from dist_tpu.models.base.models import HEAD_REGISTRY
+from dist_tpu.models.base.bn import bn_running
 
 
 class ProjectionMLP(nn.Module):
@@ -24,17 +25,17 @@ class ProjectionMLP(nn.Module):
     def __call__(self, x, train=True):
         x = nn.Dense(self.mid_dim, name="linear_a")(x)
         if self.with_bn:
-            x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+            x = nn.BatchNorm(use_running_average=bn_running(train), epsilon=1e-3,
                              name="linear_a_bn")(x)
         x = nn.relu(x)
         x = nn.Dense(self.mid_dim, name="linear_b")(x)
         if self.with_bn:
-            x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+            x = nn.BatchNorm(use_running_average=bn_running(train), epsilon=1e-3,
                              name="linear_b_bn")(x)
         x = nn.relu(x)
         x = nn.Dense(self.out_dim, name="logits_out_b2")(x)
         if self.final_bn:
-            x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+            x = nn.BatchNorm(use_running_average=bn_running(train), epsilon=1e-3,
                              name="final_bn")(x)
         if self.normalize:
             x = x / jnp.maximum(

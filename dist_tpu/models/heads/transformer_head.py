@@ -57,5 +57,8 @@ class TransformerHeadx2(nn.Module):
             o = nn.Dense(self.num_classes[i], name=f"linear{i + 1}")(x)
             if not train and self.activation == "softmax":
                 o = jax.nn.softmax(o.astype(jnp.float32), axis=-1)
+            elif not train and self.activation == "sigmoid":
+                # same eval-activation contract as the single-task heads
+                o = jax.nn.sigmoid(o.astype(jnp.float32))
             outs[key] = o
         return outs, feat

@@ -184,6 +184,8 @@ def shard_params(mesh, tree, fsdp=False):
     if not tp and not (fsdp and dp > 1) and pipe == 1:
         return replicate(mesh, tree)
 
+    tp_matched = [0]
+
     def place(path, leaf):
         if not hasattr(leaf, "ndim") or leaf.ndim == 0:
             return jax.device_put(leaf, replicated(mesh))
@@ -193,19 +195,36 @@ def shard_params(mesh, tree, fsdp=False):
                 and leaf.shape[0] % pipe == 0):
             spec[0] = PIPE_AXIS
         if tp:
-            spec = list(_tp_spec_for(name, leaf.ndim))
-            # shard only if the dim divides evenly
-            for ax, s in enumerate(spec):
-                if s is not None and leaf.shape[ax] % mesh.shape[MODEL_AXIS]:
-                    spec = [None] * leaf.ndim
-                    break
+            tspec = _tp_spec_for(name, leaf.ndim)
+            # shard only if every tensor-split dim divides evenly; merge
+            # onto the spec (a stacked pipe param keeps its layer axis)
+            if any(s is not None for s in tspec) and all(
+                    leaf.shape[ax] % mesh.shape[MODEL_AXIS] == 0
+                    for ax, s in enumerate(tspec) if s is not None):
+                for ax, s in enumerate(tspec):
+                    if s is not None and spec[ax] is None:
+                        spec[ax] = s
+                tp_matched[0] += 1
         if fsdp and dp > 1 and leaf.size >= _FSDP_MIN_SIZE:
             ax = _fsdp_axis(leaf.shape, spec, dp)
             if ax is not None:
                 spec[ax] = DATA_AXIS
         return jax.device_put(leaf, NamedSharding(mesh, P(*spec)))
 
-    return jax.tree_util.tree_map_with_path(place, tree)
+    placed = jax.tree_util.tree_map_with_path(place, tree)
+    if tp and not tp_matched[0]:
+        # _tp_spec_for matches the CLIP tower's param names; a non-CLIP
+        # backbone under TPU.MESH.MODEL>1 would otherwise run with every
+        # param replicated — the data axis shrunk model-fold for zero
+        # tensor parallelism, a silent throughput cliff
+        from dist_tpu.utils.logging import get_logger
+        get_logger(__name__).warning(
+            "TPU.MESH.MODEL=%d but NO parameter matched a tensor-parallel "
+            "sharding rule (non-CLIP param naming?) — all params are "
+            "replicated and the model axis buys nothing; set "
+            "TPU.MESH.MODEL: 1 (or extend parallel/mesh.py::_tp_spec_for).",
+            mesh.shape[MODEL_AXIS])
+    return placed
 
 
 def local_batch_size(cfg, mesh=None):

@@ -40,6 +40,20 @@ def test_timesformer_forward():
     assert preds.shape == (2, 5)
 
 
+def test_timesformer_eval_at_different_crop():
+    """The hico++ ft_vit-s recipe trains at one crop and evals at another
+    (TRAIN 112 / TEST 128); pos embed must bilinear-resize per frame and
+    divided attention must group by the ACTUAL token count."""
+    cfg = _cfg("timesformer.yaml")
+    model = build_model(cfg)
+    train_video = jnp.zeros((2, 4, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), {"video": train_video})
+    eval_video = jnp.zeros((2, 4, 48, 48, 3), jnp.float32)
+    preds, _ = model.apply(variables, {"video": eval_video}, train=False)
+    assert preds.shape == (2, 5)
+    assert bool(np.all(np.isfinite(np.asarray(preds))))
+
+
 def test_vivit_forward_and_pos_embed_resize():
     cfg = _cfg("vivit_fac_enc.yaml", ["VIDEO.BACKBONE.DEPTH_TEMP", "1"])
     model = build_model(cfg)
