@@ -269,7 +269,11 @@ class BaseVideoDataset(abc.ABC):
                         cfg.AUGMENTATION.AUTOAUGMENT.TYPE,
                         cfg.DATA.TRAIN_CROP_SIZE)
                 frames = self._rand_augment(frames, rng)
-            elif cfg.AUGMENTATION.COLOR_AUG:
+            elif (cfg.AUGMENTATION.COLOR_AUG
+                  and not cfg.AUGMENTATION.get("USE_GPU")):
+                # USE_GPU moves the color jitter inside the jitted step
+                # (ops/augment_device.py) — applying it here too would
+                # double-jitter every training clip
                 frames = transforms.color_jitter_clip(
                     frames, rng,
                     brightness=cfg.AUGMENTATION.BRIGHTNESS,

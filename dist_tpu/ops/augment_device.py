@@ -44,8 +44,20 @@ class DeviceAugConfig:
         if "ssv2" in str(cfg.TRAIN.get("DATASET", "")).lower():
             flip = 0.0
         color_p = aug.get("COLOR")  # SSL/simclr gate (reference
-        if color_p is None:         # augmentations.py:108); else the
+        ssl_color = color_p is not None  # augmentations.py:108)
+        if color_p is None:
             color_p = aug.get("COLOR_JITTER_P", 0.8)  # supervised key
+        # mirror the HOST path's gates exactly (base_dataset._transform):
+        # color jitter runs only when COLOR_AUG is on (or the SSL COLOR
+        # gate is set) and AutoAugment is not taking its place — USE_GPU
+        # must move the SAME augmentations on-device, never add new ones
+        autoaug = bool(aug.AUTOAUGMENT.ENABLE) if aug.get("AUTOAUGMENT") \
+            else False
+        color_on = (ssl_color or bool(aug.get("COLOR_AUG", False))) \
+            and not autoaug
+        if not color_on:
+            return cls(color_p=0.0, flip=flip,
+                       blur_p=float(aug.get("BLUR", 0.0) or 0.0))
         return cls(
             brightness=float(aug.BRIGHTNESS), contrast=float(aug.CONTRAST),
             saturation=float(aug.SATURATION), hue=float(aug.HUE),

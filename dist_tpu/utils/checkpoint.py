@@ -324,7 +324,29 @@ def load_train_checkpoint(cfg, state):
             payload["loader_sig"] = np.zeros(4, np.int64)
         if state.ema_variables is not None:
             payload["ema_variables"] = state.ema_variables
-        restored = load_checkpoint(path, payload)
+        try:
+            restored = load_checkpoint(path, payload)
+        except Exception:
+            # MODEL.EMA toggled between save and resume: the template's
+            # tree structure no longer matches the checkpoint's. Retry with
+            # the flipped template instead of aborting the run.
+            alt = dict(payload)
+            if "ema_variables" in alt:
+                del alt["ema_variables"]
+                restored = load_checkpoint(path, alt)
+                # EMA (re)starts from the restored weights, like a fresh
+                # EMA init would
+                restored["ema_variables"] = restored["variables"]
+                logger.warning(
+                    "Checkpoint %s has no EMA state but EMA is enabled; "
+                    "EMA restarts from the restored weights.", path)
+            else:
+                alt["ema_variables"] = state.variables
+                restored = load_checkpoint(path, alt)
+                restored.pop("ema_variables", None)
+                logger.warning(
+                    "Checkpoint %s carries EMA state but EMA is disabled; "
+                    "dropping it.", path)
         state = state.replace(
             step=restored["step"], variables=restored["variables"],
             opt_state=restored["opt_state"],
@@ -374,7 +396,15 @@ def load_test_checkpoint(cfg, state):
         if not path:
             continue
         if _is_torch_ckpt(path):
-            variables = load_torch_variables(cfg, path, state.variables)
+            try:
+                variables = load_torch_variables(cfg, path, state.variables)
+            except Exception as e:
+                # keep the documented priority chain: a corrupt/mismatched
+                # .pyth falls through to the next candidate like the orbax
+                # branch does
+                logger.warning("could not load torch checkpoint %s (%s)",
+                               path, e)
+                continue
             return state.replace(variables=variables)
         try:
             # template-free restore: test states carry no opt_state, so the

@@ -154,13 +154,20 @@ int decode_one(const DecodeRequest& req) {
   // keep a ref to the most recent decoded frame: indices past EOF pad with
   // the TRUE last frame (decord clamp semantics), not the last wanted slot
   AVFrame* last_frame = av_frame_alloc();
+  // set when a post-seek frame carries no usable pts: the frame index is
+  // unknowable (AVSEEK_FLAG_BACKWARD lands on an arbitrary earlier
+  // keyframe — assuming `first` would deliver temporally shifted clips),
+  // so restart from the stream start and count frames sequentially
+  bool restart_no_seek = false;
   auto consume_frame = [&]() {
     if (cur < 0) {
       // derive the frame index from pts after a seek
       int64_t pts = frame->best_effort_timestamp;
-      cur = pts == AV_NOPTS_VALUE
-                ? first
-                : llround((pts - start_pts) * av_q2d(st->time_base) * fps);
+      if (pts == AV_NOPTS_VALUE) {
+        restart_no_seek = true;
+        return;
+      }
+      cur = llround((pts - start_pts) * av_q2d(st->time_base) * fps);
     }
     av_frame_unref(last_frame);
     av_frame_ref(last_frame, frame);
@@ -185,6 +192,16 @@ int decode_one(const DecodeRequest& req) {
     ++cur;
   };
   while (next_wanted < wanted.size()) {
+    if (restart_no_seek) {
+      restart_no_seek = false;
+      if (av_seek_frame(fmt, vstream, start_pts,
+                        AVSEEK_FLAG_BACKWARD) >= 0) {
+        avcodec_flush_buffers(ctx);
+        cur = 0;  // sequential count from the true frame 0 (slower, exact)
+      } else {
+        cur = first;  // unseekable stream: best-effort old behavior
+      }
+    }
     int r = av_read_frame(fmt, pkt);
     if (r < 0) break;  // EOF: drain the codec below, then pad
     if (pkt->stream_index != vstream) {
@@ -198,7 +215,7 @@ int decode_one(const DecodeRequest& req) {
     av_packet_unref(pkt);
     while (avcodec_receive_frame(ctx, frame) == 0) {
       consume_frame();
-      if (cur > max_idx) break;
+      if (restart_no_seek || cur > max_idx) break;
     }
     if (cur > max_idx && next_wanted >= wanted.size()) break;
   }

@@ -82,3 +82,46 @@ def test_device_hue_matches_host_hsv():
     dh, ds_, dv = dev._rgb2hsv(jnp.asarray(x))
     device = np.asarray(dev._hsv2rgb(jnp.mod(dh + shift, 1.0), ds_, dv))
     np.testing.assert_allclose(device, host, atol=2e-6)
+
+
+def test_from_cfg_mirrors_host_gates(tmp_path):
+    """USE_GPU must move the SAME augmentations on-device, never add new
+    ones: color jitter only when COLOR_AUG (or the SSL COLOR gate) is on
+    and AutoAugment is not taking its place (base_dataset._transform)."""
+    import os
+
+    from dist_tpu.config import load_config
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg_path = os.path.join(repo, "configs/projects/dist/test/tiny_synth.yaml")
+
+    def cfg_with(*opts):
+        return load_config(cfg_path, opts=["OUTPUT_DIR", str(tmp_path),
+                                           "AUGMENTATION.BRIGHTNESS", "0.4",
+                                           "AUGMENTATION.GRAYSCALE", "0.2",
+                                           *opts], make_output_dir=False)
+
+    # COLOR_AUG off: strengths present in cfg but the host path would not
+    # jitter -> neither may the device path
+    c = DeviceAugConfig.from_cfg(cfg_with("AUGMENTATION.COLOR_AUG", "false"))
+    assert c.color_p == 0.0 and c.brightness == 0.0 and c.grayscale == 0.0
+
+    # (the dist configs set COLOR_JITTER_P explicitly; it carries through)
+    c = DeviceAugConfig.from_cfg(cfg_with("AUGMENTATION.COLOR_AUG", "true",
+                                          "AUGMENTATION.COLOR_JITTER_P",
+                                          "0.8"))
+    assert c.brightness == 0.4 and c.grayscale == 0.2 and c.color_p == 0.8
+
+    # AutoAugment replaces color jitter on the host path
+    c = DeviceAugConfig.from_cfg(cfg_with(
+        "AUGMENTATION.COLOR_AUG", "true",
+        "AUGMENTATION.AUTOAUGMENT.ENABLE", "true"))
+    assert c.color_p == 0.0 and c.brightness == 0.0
+
+    # SSL gate: AUGMENTATION.COLOR sets the jitter probability directly
+    # (the key only exists in the SSL recipe tree — set it post-load, the
+    # CLI validator rejects keys absent from the schema)
+    ssl_cfg = cfg_with()
+    ssl_cfg.AUGMENTATION.COLOR = 0.6
+    c = DeviceAugConfig.from_cfg(ssl_cfg)
+    assert c.color_p == 0.6 and c.brightness == 0.4

@@ -134,11 +134,8 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/dist_tpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
+    from dist_tpu.utils.misc import enable_compile_cache
+    enable_compile_cache()
     from dist_tpu.models.base.models import build_model
     from dist_tpu.tasks.state import _prep_video
 

@@ -60,9 +60,17 @@ def main():
     # label names + text features for the cosine-similarity classifier,
     # built EXACTLY as the dataset does (prompt prefix + quote stripping)
     label_names, text_features = None, None
+    # text features only for text-classifier models (same gate as the
+    # serving engine): a labels.json next to a conv model's annotations
+    # supplies display NAMES only — encode_text on a non-CLIP model
+    # would AttributeError
+    use_text = (bool(cfg.DATA.DATASET_LABEL_TEXT.ENABLE)
+                or "Text" in str(cfg.VIDEO.HEAD.NAME))
     if os.path.exists(os.path.join(cfg.DATA.ANNO_DIR or "", "labels.json")):
         label_names, tokens = load_label_texts(cfg, cfg.DATA.ANNO_DIR)
-    elif "Text" in str(cfg.VIDEO.HEAD.NAME):
+        if not use_text:
+            tokens = None
+    elif use_text:
         # cosine-similarity classifier with no labels.json: generic
         # per-class prompts so the tool still runs (indices only, no names)
         from dist_tpu.data.tokenizer import tokenize
@@ -80,11 +88,11 @@ def main():
 
     with mesh:
         for path in args.videos:
-            import cv2
-            cap = cv2.VideoCapture(path)
-            total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
-            fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
-            cap.release()
+            from dist_tpu.data.base_dataset import probe_video
+            # shared probe (native decoder w/ duration fallbacks, cv2
+            # otherwise) — keeps probe and decode on the same backend
+            total, fps = probe_video(path)
+            fps = fps or 30.0
             clips = []
             for v in range(views):
                 idx = sampling.get_frame_indices(

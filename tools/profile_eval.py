@@ -35,13 +35,8 @@ CFG = os.environ.get("BENCH_CFG",
 def main():
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                         "/tmp/dist_tpu_jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
+    from dist_tpu.utils.misc import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 

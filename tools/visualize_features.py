@@ -51,14 +51,13 @@ def main():
     if args.videos:
         # ad-hoc files: center-view decode, the classify.py serving path
         from dist_tpu.data import sampling, transforms
-        from dist_tpu.data.base_dataset import read_video
-        import cv2
+        from dist_tpu.data.base_dataset import probe_video, read_video
         clips = []
         for path in args.videos:
-            cap = cv2.VideoCapture(path)
-            total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
-            fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
-            cap.release()
+            # shared probe (native decoder w/ duration fallbacks, cv2
+            # otherwise) — keeps probe and decode on the same backend
+            total, fps = probe_video(path)
+            fps = fps or 30.0
             idx = sampling.get_frame_indices(
                 cfg, total, fps, 0, 1, rng=np.random.default_rng(0),
                 random_sample=False)
