@@ -103,16 +103,30 @@ class InferenceEngine:
         return names, compute_text_features(
             self.model, self.state.variables, tokens, mesh=self.mesh)
 
+    def _buckets(self):
+        """Compiled batch shapes: powers of two up to ``batch_size`` (plus
+        ``batch_size`` itself). A request batch runs at the smallest
+        bucket >= n instead of always padding to the max — at low
+        occupancy (batch-1 requests against batch_size 8) that is up to
+        8x less device work per request. Each bucket is one extra cached
+        compile, paid at warmup."""
+        b, bs = 1, []
+        while b < self.batch_size:
+            bs.append(b)
+            b *= 2
+        bs.append(self.batch_size)
+        return bs
+
     def warmup(self):
-        """Compile the step at the serving shape (do this BEFORE accepting
-        traffic: first-compile is seconds-to-minutes on TPU)."""
-        dummy = np.zeros(
-            (self.batch_size, self.num_frames, self.crop, self.crop, 3),
-            np.uint8)
-        self.predict(dummy)
+        """Compile the step at every serving bucket (do this BEFORE
+        accepting traffic: first-compile is seconds-to-minutes on TPU)."""
+        for b in self._buckets():
+            dummy = np.zeros(
+                (b, self.num_frames, self.crop, self.crop, 3), np.uint8)
+            self.predict(dummy)
         self._compiled = True
-        logger.info("serving warmup done: batch=%d frames=%d crop=%d "
-                    "classes=%d", self.batch_size, self.num_frames,
+        logger.info("serving warmup done: buckets=%s frames=%d crop=%d "
+                    "classes=%d", self._buckets(), self.num_frames,
                     self.crop, self.num_classes)
 
     def predict(self, clips):
@@ -126,19 +140,20 @@ class InferenceEngine:
         assert n <= self.batch_size, (n, self.batch_size)
         expect = (self.num_frames, self.crop, self.crop, 3)
         assert clips.shape[1:] == expect, (clips.shape, expect)
-        if n < self.batch_size:  # pad to the compiled static shape
-            pad = np.zeros((self.batch_size - n,) + expect, np.uint8)
+        bucket = next(b for b in self._buckets() if b >= n)
+        if n < bucket:  # pad to the bucket's compiled static shape
+            pad = np.zeros((bucket - n,) + expect, np.uint8)
             clips = np.concatenate([clips, pad], axis=0)
 
         from dist_tpu.parallel.mesh import DATA_AXIS
 
         batch = {"video": clips,
-                 "labels": np.zeros((self.batch_size,), np.int64)}
+                 "labels": np.zeros((bucket,), np.int64)}
         with self.mesh:
             # shard when the batch tiles the DATA axis (shard_batch places
             # P('data'); the total device count is the wrong divisor on
             # pipe/model meshes)
-            if self.batch_size % int(self.mesh.shape.get(DATA_AXIS, 1)) == 0:
+            if bucket % int(self.mesh.shape.get(DATA_AXIS, 1)) == 0:
                 batch = shard_batch(self.mesh, batch)
             if self.text_features is not None:
                 batch["text_features"] = self.text_features

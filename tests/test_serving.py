@@ -243,6 +243,21 @@ def test_server_rejects_bad_payloads(tiny_server):
 
 
 @pytest.mark.slow
+def test_engine_buckets_agree(tiny_server):
+    """A batch-1 request runs at the 1-bucket (not padded to max batch);
+    its scores must match the same clip inside a full batch."""
+    engine = tiny_server.engine
+    assert engine._buckets() == [1, 2, 4, 8]
+    rng = np.random.default_rng(7)
+    clips = rng.integers(0, 255, (8, engine.num_frames, engine.crop,
+                                  engine.crop, 3), dtype=np.uint8)
+    full = engine.predict(clips)
+    one = engine.predict(clips[:1])
+    np.testing.assert_allclose(one[0], full[0], rtol=0, atol=5e-3)
+    assert np.argmax(one[0]) == np.argmax(full[0])
+
+
+@pytest.mark.slow
 def test_engine_pad_and_results_match_direct_apply(tiny_server):
     """A 3-clip predict (padded to batch 8) equals applying the model
     directly — padding must not leak into real rows."""
