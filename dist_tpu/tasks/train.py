@@ -322,10 +322,29 @@ def train_epoch(cfg, mesh, state, train_step, loader, meter, cur_epoch, rng,
 
 def eval_epoch(cfg, mesh, state, eval_step, loader, meter, cur_epoch,
                text_features):
-    """(reference runs/train.py:209-329)"""
+    """(reference runs/train.py:209-329)
+
+    Lag-1 pipelined like the train/test loops: batch k's scalar metrics
+    are fetched while batch k+1 computes, so the host never blocks the
+    accelerator between eval steps."""
     meter.reset()
     multihost = jax.process_count() > 1
     sync_period = _sync_period(cfg)
+
+    def consume(metrics, mb):
+        # drop the data-sharded preds before fetching: eval-in-train only
+        # consumes the (replicated) scalar metrics, and device_get on a
+        # cross-host-sharded array raises
+        metrics = jax.device_get(
+            {k: v for k, v in metrics.items() if k != "preds"})
+        meter.update_stats(float(metrics["top1_err"]),
+                           float(metrics["top5_err"]), mb)
+        extra = {k: float(v) for k, v in metrics.items()
+                 if k not in ("top1_err", "top5_err", "preds")}
+        if extra:
+            meter.update_custom_stats(extra, mb_size=mb)
+
+    pending = None
     for cur_iter, batch in enumerate(loader):
         # preemption during eval: abort promptly (eval results are
         # recomputable; the caller commits a checkpoint and exits). Same
@@ -344,16 +363,9 @@ def eval_epoch(cfg, mesh, state, eval_step, loader, meter, cur_epoch,
         if text_features is not None:
             device_batch["text_features"] = text_features
         metrics = eval_step(state, device_batch)
-        # drop the data-sharded preds before fetching: eval-in-train only
-        # consumes the (replicated) scalar metrics, and device_get on a
-        # cross-host-sharded array raises
-        metrics = jax.device_get(
-            {k: v for k, v in metrics.items() if k != "preds"})
-        mb = batch["video"].shape[0] * jax.process_count()
-        meter.update_stats(float(metrics["top1_err"]), float(metrics["top5_err"]),
-                           mb)
-        extra = {k: float(v) for k, v in metrics.items()
-                 if k not in ("top1_err", "top5_err", "preds")}
-        if extra:
-            meter.update_custom_stats(extra, mb_size=mb)
+        if pending is not None:
+            consume(*pending)
+        pending = (metrics, batch["video"].shape[0] * jax.process_count())
+    if pending is not None:
+        consume(*pending)
     return meter.log_epoch_stats(cur_epoch)
