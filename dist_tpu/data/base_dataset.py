@@ -53,6 +53,31 @@ def load_label_texts(cfg, anno_dir):
     return texts, tokenize(texts)
 
 
+def resolve_label_texts(cfg, num_classes):
+    """Serving/tooling label setup -> (display names or None, CLIP tokens
+    or None). One gate shared by the inference engine and classify tool:
+
+    - tokens only for TEXT-classifier models (``DATASET_LABEL_TEXT.ENABLE``
+      or a ``*Text*`` head — calling ``encode_text`` on a conv model would
+      AttributeError); a labels.json next to a conv model's annotations
+      still supplies display NAMES,
+    - a text model with no labels.json gets generic per-class prompts so
+      the tool still runs (indices only, no names)."""
+    use_text = (bool(cfg.DATA.DATASET_LABEL_TEXT.ENABLE)
+                or "Text" in str(cfg.VIDEO.HEAD.NAME))
+    names, tokens = None, None
+    anno = cfg.DATA.ANNO_DIR or ""
+    if anno and os.path.exists(os.path.join(anno, "labels.json")):
+        names, tokens = load_label_texts(cfg, anno)
+        if not use_text:
+            tokens = None
+    elif use_text:
+        from dist_tpu.data.tokenizer import tokenize
+        tokens = tokenize([f"a video of class {i}"
+                           for i in range(int(num_classes))])
+    return names, tokens
+
+
 def read_video(path, frame_indices):
     """Decode the given frame indices: native C++ decoder (libavcodec,
     native/videodec.cpp — the decord replacement) when built, OpenCV

@@ -11,15 +11,20 @@ every BatchNorm site computes its ``use_running_average`` through
 time), exactly like the config it mirrors.
 """
 
-_BN_FROZEN = False
+import contextvars
+
+# ContextVar, not a module global: each thread (and each context) sees its
+# own value, so two models traced concurrently with different BN.FREEZE
+# settings (e.g. a frozen-BN fine-tune plus a serving engine build) cannot
+# cross-contaminate each other's traces.
+_BN_FROZEN = contextvars.ContextVar("dist_tpu_bn_frozen", default=False)
 
 
 def set_bn_frozen(flag):
-    global _BN_FROZEN
-    _BN_FROZEN = bool(flag)
+    _BN_FROZEN.set(bool(flag))
 
 
 def bn_running(train):
     """``use_running_average`` for a BatchNorm given the caller's train
-    flag and the global freeze."""
-    return (not train) or _BN_FROZEN
+    flag and the freeze state."""
+    return (not train) or _BN_FROZEN.get()

@@ -60,6 +60,11 @@ class MicroBatcher:
             with self._lock:
                 self.stats["rejected"] += 1
             raise
+        if self._stop.is_set():
+            # close() may have drained the queue between our stop-check and
+            # the put — nobody will service this item; fail it fast instead
+            # of leaving the caller to block its full result timeout
+            self._resolve(fut, exc=RuntimeError("MicroBatcher is closed"))
         return fut
 
     @staticmethod

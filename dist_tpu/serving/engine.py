@@ -75,28 +75,9 @@ class InferenceEngine:
     def _label_setup(self):
         """Label names + cached text features, exactly as the test task
         builds them (prompted label texts -> frozen text tower, once)."""
-        import os
+        from dist_tpu.data.base_dataset import resolve_label_texts
 
-        from dist_tpu.data.base_dataset import load_label_texts
-
-        cfg = self.cfg
-        names, tokens = None, None
-        # text features only for text-classifier models (the test task's
-        # gate is the dataset's text_tokens, built under the same flags,
-        # tasks/test.py:64); a labels.json next to a conv model's
-        # annotations supplies display NAMES only — calling encode_text on
-        # a non-CLIP model would AttributeError at engine construction
-        use_text = (bool(cfg.DATA.DATASET_LABEL_TEXT.ENABLE)
-                    or "Text" in str(cfg.VIDEO.HEAD.NAME))
-        anno = cfg.DATA.ANNO_DIR or ""
-        if anno and os.path.exists(os.path.join(anno, "labels.json")):
-            names, tokens = load_label_texts(cfg, anno)
-            if not use_text:
-                tokens = None
-        elif use_text:
-            from dist_tpu.data.tokenizer import tokenize
-            tokens = tokenize([f"a video of class {i}"
-                               for i in range(self.num_classes)])
+        names, tokens = resolve_label_texts(self.cfg, self.num_classes)
         if tokens is None:
             return names, None
         from dist_tpu.tasks.state import compute_text_features

@@ -42,13 +42,18 @@ def export_predictor(cfg, batch_size=8, platforms=("cpu", "tpu")):
     from dist_tpu.serving.engine import InferenceEngine
     from dist_tpu.tasks.state import make_eval_step
 
-    if int(cfg.TPU.MESH.get("PIPE", 1) or 1) > 1:
+    if (int(cfg.TPU.MESH.get("PIPE", 1) or 1) > 1
+            or int(cfg.TPU.MESH.get("MODEL", 1) or 1) > 1
+            or bool(cfg.TPU.get("FSDP", False))):
         # the artifact is one single-program module traced OUTSIDE any mesh
-        # context; the pipelined tower path requires a live mesh and would
-        # assert during export tracing — the sequential scan is the same
-        # function with the same params
+        # context; the pipelined tower path would assert without a live
+        # mesh, and TP/FSDP placements would bake device-sharded constants
+        # into the module. The sequential, replicated configuration is the
+        # same function with the same params — force it for export.
         cfg = cfg.deep_copy()
         cfg.TPU.MESH.PIPE = 1
+        cfg.TPU.MESH.MODEL = 1
+        cfg.TPU.FSDP = False
     engine = InferenceEngine(cfg, batch_size=batch_size)
     state, text_features = engine.state, engine.text_features
     step = make_eval_step(engine.model, cfg)

@@ -74,6 +74,12 @@ def _make_handler(engine: InferenceEngine, batcher: MicroBatcher):
                 self.close_connection = True
                 self._json(400, {"error": "bad Content-Length"})
                 return
+            if length < 0:
+                # rfile.read(-1) would block until the client closes the
+                # keep-alive connection, pinning this handler thread
+                self.close_connection = True
+                self._json(400, {"error": "negative Content-Length"})
+                return
             if length > self.MAX_BODY:
                 # can't cheaply drain gigabytes; drop the connection
                 self.close_connection = True

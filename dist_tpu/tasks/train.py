@@ -129,7 +129,18 @@ def train(cfg):
     state, tx, lr_fn = _init_state(cfg, model, first_batch, steps_per_epoch)
     if cfg.LOG_MODEL_INFO:
         misc.log_model_info(state.variables)
-    state, start_epoch, start_iter = cu.load_train_checkpoint(cfg, state)
+    state, start_epoch, start_iter = cu.load_train_checkpoint(
+        cfg, state, dataset_len=len(train_loader.dataset))
+    if start_iter and start_iter >= len(train_loader):
+        # belt-and-braces for a mid-epoch checkpoint recorded at (or past)
+        # the epoch length (shouldn't happen — the save path promotes a
+        # fully-consumed epoch to an end-of-epoch checkpoint): treat the
+        # fold-epoch as done rather than dying on the loader's skip assert
+        logger.warning("Mid-epoch checkpoint iter %d >= epoch length %d; "
+                       "resuming at the next fold-epoch.", start_iter,
+                       len(train_loader))
+        start_epoch += int(cfg.TRAIN.get("NUM_FOLDS", 1))
+        start_iter = 0
 
     text_features = _text_features(cfg, model, state, train_loader.dataset,
                                    mesh)
@@ -201,8 +212,17 @@ def _run_epochs(cfg, mesh, state_box, train_step, eval_step, ema_eval_step,
                 cfg, mesh, state, train_step, train_loader, train_meter,
                 cur_epoch, rng, text_features, iter_offset, run_iters)
             if preempt_iter is not None:
-                cu.save_checkpoint(cfg, state, cur_epoch,
-                                   iter_in_epoch=preempt_iter)
+                if preempt_iter >= len(train_loader):
+                    # caught at the FINAL step: the fold-epoch is fully
+                    # consumed — save a normal end-of-epoch checkpoint. A
+                    # mid-epoch save with iter == epoch length would make
+                    # every resume skip past the whole epoch and die on
+                    # the loader's skip assert, permanently unresumable.
+                    cu.save_checkpoint(cfg, state, cur_epoch)
+                else:
+                    cu.save_checkpoint(
+                        cfg, state, cur_epoch, iter_in_epoch=preempt_iter,
+                        dataset_len=len(train_loader.dataset))
                 cu.wait_until_finished()
                 logger.info("Preemption checkpoint committed (fold-epoch %d, "
                             "iter %d); exiting.", cur_epoch, preempt_iter)

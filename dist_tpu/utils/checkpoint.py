@@ -92,18 +92,24 @@ def prune_old_checkpoints(cfg):
             logger.warning("Could not prune %s: %s", path, e)
 
 
-def _loader_signature(cfg):
+def _loader_signature(cfg, dataset_len=-1):
     """What the per-host batch stream is a function of: a mid-epoch
     checkpoint's recorded iter only resumes correctly when these match at
-    restore (seed + local batch size + host count + folds). Stored with
-    every mid-epoch save; compared on load."""
+    restore (seed + local batch size + host count + folds + dataset
+    length — the shuffle permutes ``arange(len(dataset))``, so a changed
+    annotation set means a different stream even at the same geometry).
+    Stored with every mid-epoch save; compared on load. ``dataset_len``
+    is -1 when the caller has no loader in hand (tests, tooling): -1
+    compares equal to -1, so signature checks remain meaningful for the
+    remaining fields."""
     import jax
     from dist_tpu.parallel.mesh import config_data_axis_size
     scale = max(config_data_axis_size(cfg) // jax.process_count(), 1)
     return np.asarray([int(cfg.RANDOM_SEED),
                        int(cfg.TRAIN.BATCH_SIZE) * scale,
                        jax.process_count(),
-                       int(cfg.TRAIN.get("NUM_FOLDS", 1))], np.int64)
+                       int(cfg.TRAIN.get("NUM_FOLDS", 1)),
+                       int(dataset_len)], np.int64)
 
 
 def is_checkpoint_epoch(cfg, cur_epoch):
@@ -139,7 +145,8 @@ def wait_until_finished():
         _ASYNC_CKPTR.wait_until_finished()
 
 
-def save_checkpoint(cfg, state, cur_epoch, iter_in_epoch=None):
+def save_checkpoint(cfg, state, cur_epoch, iter_in_epoch=None,
+                    dataset_len=-1):
     """Save the full TrainState at OUTPUT_DIR/checkpoints/ (orbax).
 
     Multi-host contract (replaces the reference's master-only torch.save,
@@ -184,7 +191,7 @@ def save_checkpoint(cfg, state, cur_epoch, iter_in_epoch=None):
     }
     if iter_in_epoch is not None:
         payload["iter"] = np.asarray(iter_in_epoch, np.int32)
-        payload["loader_sig"] = _loader_signature(cfg)
+        payload["loader_sig"] = _loader_signature(cfg, dataset_len)
     if state.ema_variables is not None:
         payload["ema_variables"] = state.ema_variables
     if async_save:
@@ -308,7 +315,7 @@ def merge_into_template(template, loaded):
     return walk(template, loaded, ()), missing, unexpected
 
 
-def load_train_checkpoint(cfg, state):
+def load_train_checkpoint(cfg, state, dataset_len=-1):
     """Auto-resume / fine-tune logic (checkpoint.py:532-577). Returns
     (state, start_epoch, start_iter): start_iter > 0 only when resuming a
     mid-epoch (preemption) checkpoint — the loader must skip that many
@@ -321,7 +328,7 @@ def load_train_checkpoint(cfg, state):
                    "variables": state.variables, "opt_state": state.opt_state}
         if "_iter_" in os.path.basename(path):
             payload["iter"] = np.asarray(0, np.int32)
-            payload["loader_sig"] = np.zeros(4, np.int64)
+            payload["loader_sig"] = np.zeros(5, np.int64)
         if state.ema_variables is not None:
             payload["ema_variables"] = state.ema_variables
         try:
@@ -354,7 +361,7 @@ def load_train_checkpoint(cfg, state):
         start_iter = int(restored.get("iter", 0))
         if start_iter:
             saved_sig = np.asarray(restored["loader_sig"])
-            want_sig = _loader_signature(cfg)
+            want_sig = _loader_signature(cfg, dataset_len)
             if not np.array_equal(saved_sig, want_sig):
                 # the recorded iter indexes a DIFFERENT batch stream now —
                 # silently skipping would drop/replay the wrong samples (or

@@ -177,6 +177,27 @@ def test_async_retention_never_drops_below_keep(tmp_path):
 
 
 @pytest.mark.slow
+def test_preempt_at_epoch_final_step_saves_end_of_epoch(tmp_path):
+    """A preemption caught at the LAST step of a fold-epoch must save a
+    normal end-of-epoch checkpoint (iter == epoch length in a mid-epoch
+    name would poison every resume on the loader's skip assert)."""
+    from dist_tpu.tasks.train import train
+    from dist_tpu.utils import checkpoint as cu
+
+    opts = ["OPTIMIZER.MAX_EPOCH", "2", "TRAIN.AUTO_RESUME", "true"]
+    out = tmp_path / "run"
+    # the tiny config yields 2 batches/fold-epoch: preempt after iter 2
+    with pytest.raises(SystemExit) as e:
+        train(_cfg(out, *opts, "TRAIN.PREEMPT_AFTER_ITERS", "2"))
+    assert e.value.code == 0
+    last = cu.get_last_checkpoint(_cfg(out, *opts))
+    assert last.endswith("checkpoint_epoch_00001"), last  # no _iter_ suffix
+    # resume completes the remaining epoch cleanly
+    resumed = train(_cfg(out, *opts))
+    assert int(resumed.step) == 4
+
+
+@pytest.mark.slow
 def test_preempt_resume_matches_uninterrupted(tmp_path):
     """Fault-inject a preemption after 1 of 4 steps; resuming completes the
     run with final params IDENTICAL to an uninterrupted run (deterministic

@@ -34,7 +34,7 @@ def main():
 
     from dist_tpu.config import load_config
     from dist_tpu.data import sampling, transforms
-    from dist_tpu.data.base_dataset import load_label_texts, read_video
+    from dist_tpu.data.base_dataset import read_video
     from dist_tpu.models.base.models import build_model
     from dist_tpu.parallel.mesh import build_mesh, shard_batch
     from dist_tpu.tasks.state import make_eval_step
@@ -57,28 +57,14 @@ def main():
         np.float32)})
     state = cu.load_test_checkpoint(cfg, state)
 
-    # label names + text features for the cosine-similarity classifier,
-    # built EXACTLY as the dataset does (prompt prefix + quote stripping)
-    label_names, text_features = None, None
-    # text features only for text-classifier models (same gate as the
-    # serving engine): a labels.json next to a conv model's annotations
-    # supplies display NAMES only — encode_text on a non-CLIP model
-    # would AttributeError
-    use_text = (bool(cfg.DATA.DATASET_LABEL_TEXT.ENABLE)
-                or "Text" in str(cfg.VIDEO.HEAD.NAME))
-    if os.path.exists(os.path.join(cfg.DATA.ANNO_DIR or "", "labels.json")):
-        label_names, tokens = load_label_texts(cfg, cfg.DATA.ANNO_DIR)
-        if not use_text:
-            tokens = None
-    elif use_text:
-        # cosine-similarity classifier with no labels.json: generic
-        # per-class prompts so the tool still runs (indices only, no names)
-        from dist_tpu.data.tokenizer import tokenize
-        n_cls = int(cfg.VIDEO.HEAD.NUM_CLASSES)
-        tokens = tokenize([f"a video of class {i}" for i in range(n_cls)])
-        label_names = None
-    else:
-        tokens = None
+    # label names + text features for the cosine-similarity classifier —
+    # the gate and fallbacks shared with the serving engine
+    # (data/base_dataset.py::resolve_label_texts)
+    from dist_tpu.data.base_dataset import resolve_label_texts
+    text_features = None
+    label_names, tokens = resolve_label_texts(
+        cfg, int(cfg.VIDEO.HEAD.NUM_CLASSES)
+        if not isinstance(cfg.VIDEO.HEAD.NUM_CLASSES, (list, tuple)) else 0)
     if tokens is not None:
         from dist_tpu.tasks.state import compute_text_features
         text_features = compute_text_features(model, state.variables, tokens)
