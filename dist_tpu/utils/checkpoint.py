@@ -87,6 +87,8 @@ def prune_old_checkpoints(cfg):
         path = os.path.join(d, name)
         try:
             shutil.rmtree(path)
+            if os.path.exists(path + ".config.yaml"):
+                os.remove(path + ".config.yaml")  # provenance sidecar
             logger.info("Pruned old checkpoint %s (KEEP_LAST=%d)", path, keep)
         except OSError as e:  # never fail training over GC
             logger.warning("Could not prune %s: %s", path, e)
@@ -204,8 +206,28 @@ def save_checkpoint(cfg, state, cur_epoch, iter_in_epoch=None,
     if not async_save:
         ckptr.wait_until_finished()
         prune_old_checkpoints(cfg)
+    _write_config_sidecar(cfg, path)
     logger.info("Saved checkpoint %s%s", path, " (async)" if async_save else "")
     return path
+
+
+def _write_config_sidecar(cfg, ckpt_path):
+    """Record the full resolved config next to the checkpoint (the
+    reference stores ``cfg`` inside its .pyth payload, checkpoint.py:
+    102-143; orbax trees hold arrays, so it rides as a YAML sidecar).
+    Primary host only; ``<name>.config.yaml`` sits OUTSIDE the orbax dir
+    so it never interferes with the atomic tmp-dir commit and the
+    checkpoint matcher ignores it (retention GC removes it together with
+    its checkpoint)."""
+    import jax
+    if jax.process_index() != 0:
+        return
+    try:
+        with open(ckpt_path + ".config.yaml", "w") as f:
+            f.write(cfg.dump())
+    except Exception as e:  # provenance must never fail a save
+        logger.warning("Could not write config sidecar for %s: %s",
+                       ckpt_path, e)
 
 
 def load_checkpoint(path, template=None):

@@ -132,16 +132,20 @@ def test_checkpoint_retention_keeps_last_n(tmp_path):
     for epoch in range(4):
         cu.save_checkpoint(cfg, state, cur_epoch=epoch)
     d = cu.checkpoint_dir(cfg)
-    names = sorted(n for n in os.listdir(d) if n.startswith("checkpoint_"))
-    assert names == ["checkpoint_epoch_00003", "checkpoint_epoch_00004"], names
+
+    def names():
+        return sorted(n for n in os.listdir(d)
+                      if n.startswith("checkpoint_")
+                      and os.path.isdir(os.path.join(d, n)))
+
+    assert names() == ["checkpoint_epoch_00003", "checkpoint_epoch_00004"]
     # the survivor is loadable
     restored, start_epoch, _ = cu.load_train_checkpoint(cfg, state)
     assert start_epoch == 4
     # a mid-epoch (preemption) checkpoint participates in retention too
     cu.save_checkpoint(cfg, state, cur_epoch=4, iter_in_epoch=1)
-    names = sorted(n for n in os.listdir(d) if n.startswith("checkpoint_"))
-    assert names == ["checkpoint_epoch_00004",
-                     "checkpoint_epoch_00004_iter_0000001"], names
+    assert names() == ["checkpoint_epoch_00004",
+                       "checkpoint_epoch_00004_iter_0000001"]
 
 
 def test_async_retention_never_drops_below_keep(tmp_path):
@@ -162,7 +166,8 @@ def test_async_retention_never_drops_below_keep(tmp_path):
 
     def names():
         return sorted(n for n in os.listdir(d)
-                      if n.startswith("checkpoint_"))
+                      if n.startswith("checkpoint_")
+                      and os.path.isdir(os.path.join(d, n)))
 
     cu.save_checkpoint(cfg, state, cur_epoch=0)
     cu.wait_until_finished()
