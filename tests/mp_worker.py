@@ -239,7 +239,8 @@ cfg_c.TRAIN.CHECKPOINT_KEEP_LAST = 1
 cu.prune_old_checkpoints(cfg_c)
 C.synchronize()
 left = sorted(n for n in os.listdir(cu.checkpoint_dir(cfg_c))
-              if n.startswith("checkpoint_"))
+              if n.startswith("checkpoint_")
+              and os.path.isdir(os.path.join(cu.checkpoint_dir(cfg_c), n)))
 assert left == ["checkpoint_epoch_00004_iter_0000003"], left
 
 C.synchronize()
