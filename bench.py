@@ -1,9 +1,12 @@
 #!/usr/bin/env python3
-"""Benchmark: DiST CLIP ViT-B/16 8-frame inference throughput (clips/sec/chip).
+"""Benchmark: DiST CLIP ViT-B/16 8-frame throughput (clips/sec/chip).
 
 The BASELINE.json north-star metric: multi-view eval throughput of the
-flagship config on one chip. Prints ONE JSON line:
+flagship config on one chip, plus the train-step throughput of the same
+config so round-over-round train perf is tracked like eval perf. Prints one
+JSON line per metric (eval first — the primary metric):
   {"metric": "clips_per_sec_per_chip", "value": N, "unit": "clips/s", "vs_baseline": N}
+  {"metric": "train_clips_per_sec_per_chip", ...}
 
 ``vs_baseline``: the reference never published throughput (SURVEY.md
 section 6); we normalize against a fixed reference budget of 32 clips/s/chip
@@ -26,27 +29,19 @@ REFERENCE_CLIPS_PER_SEC = 32.0
 BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 ITERS = int(os.environ.get("BENCH_ITERS", "40"))
 WARMUP = int(os.environ.get("BENCH_WARMUP", "2"))
-MODE = os.environ.get("BENCH_MODE", "eval")  # eval | train
+# eval | train | both (default: both — BENCH_r{N}.json carries both metrics)
+MODE = os.environ.get("BENCH_MODE", "both")
 CFG = os.environ.get("BENCH_CFG",
                      "configs/projects/dist/ssv2/vit-b16-8+16f.yaml")
 # extra dotted-key overrides, e.g. BENCH_OPTS="TRAIN.MIXED_PRECISION true"
 OPTS = os.environ.get("BENCH_OPTS", "").split()
 
 
-def main():
+def _build(cfg):
     import jax
-
-    from dist_tpu.utils.misc import enable_compile_cache
-    enable_compile_cache()
     import jax.numpy as jnp
 
-    from dist_tpu.config import load_config
     from dist_tpu.models.base.models import build_model
-
-    repo = os.path.dirname(os.path.abspath(__file__))
-    cfg = load_config(os.path.join(repo, CFG),
-                      opts=["TRAIN.BATCH_SIZE", str(BATCH)] + OPTS,
-                      make_output_dir=False)
 
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
@@ -64,10 +59,41 @@ def main():
         rng, (BATCH, frames, crop, crop, 3), 0, 255, jnp.int32).astype(jnp.uint8)
     variables = model.init(rng, {"video": video_u8.astype(jnp.float32)})
     text_features = jax.random.normal(rng, (n_cls, embed), jnp.float32)
+    return model, variables, video_u8, text_features, n_cls_cfg, rng
 
+
+def _measure(forward, variables, video_u8, text_features):
+    import jax
+    import numpy as np
+
+    def sync(x):
+        # block_until_ready is a no-op through the axon tunnel; a
+        # device->host transfer is the reliable sync point
+        if isinstance(x, dict):  # e.g. EPIC dual-head {verb, noun} preds
+            x = next(iter(x.values()))
+        return np.asarray(jax.device_get(x[0, :1]))
+
+    out = forward(variables, video_u8, text_features)
+    sync(out)
+    for _ in range(WARMUP):
+        sync(forward(variables, video_u8, text_features))
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = forward(variables, video_u8, text_features)
+    sync(out)
+    dt = time.perf_counter() - t0
+    return BATCH * ITERS / dt
+
+
+def run(mode, cfg, built):
+    import jax
+    import jax.numpy as jnp
+
+    model, variables, video_u8, text_features, n_cls_cfg, rng = built
     from dist_tpu.tasks.state import _prep_video
 
-    if MODE == "train":
+    if mode == "train":
         from dist_tpu.optim.optimizer import construct_optimizer
         from dist_tpu.tasks.state import create_train_state, make_train_step
 
@@ -97,35 +123,31 @@ def main():
                 train=False)
             return preds
 
-    import numpy as np
-
-    def sync(x):
-        # block_until_ready is a no-op through the axon tunnel; a
-        # device->host transfer is the reliable sync point
-        if isinstance(x, dict):  # e.g. EPIC dual-head {verb, noun} preds
-            x = next(iter(x.values()))
-        return np.asarray(jax.device_get(x[0, :1]))
-
-    out = forward(variables, video_u8, text_features)
-    sync(out)
-    for _ in range(WARMUP):
-        sync(forward(variables, video_u8, text_features))
-
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = forward(variables, video_u8, text_features)
-    sync(out)
-    dt = time.perf_counter() - t0
-
-    clips_per_sec = BATCH * ITERS / dt
-    metric = ("train_clips_per_sec_per_chip" if MODE == "train"
+    clips_per_sec = _measure(forward, variables, video_u8, text_features)
+    metric = ("train_clips_per_sec_per_chip" if mode == "train"
               else "clips_per_sec_per_chip")
-    print(json.dumps({
+    return {
         "metric": metric,
         "value": round(clips_per_sec, 2),
         "unit": "clips/s",
         "vs_baseline": round(clips_per_sec / REFERENCE_CLIPS_PER_SEC, 3),
-    }))
+    }
+
+
+def main():
+    from dist_tpu.utils.misc import enable_compile_cache
+    enable_compile_cache()
+
+    from dist_tpu.config import load_config
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    cfg = load_config(os.path.join(repo, CFG),
+                      opts=["TRAIN.BATCH_SIZE", str(BATCH)] + OPTS,
+                      make_output_dir=False)
+    built = _build(cfg)
+    modes = ("eval", "train") if MODE == "both" else (MODE,)
+    for mode in modes:
+        print(json.dumps(run(mode, cfg, built)), flush=True)
 
 
 if __name__ == "__main__":

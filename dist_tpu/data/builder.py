@@ -136,9 +136,17 @@ class Loader:
         rate = getattr(self.dataset, "epoch_rate", None)
         return pool.submit(_proc_worker_getitem, int(index), rate, seed)
 
-    def __del__(self):
+    def close(self):
+        """Shut the persistent process pool down NOW. The task loops call
+        this at teardown — relying on ``__del__`` (GC) alone leaks idle
+        spawned workers for the rest of a run list that builds several
+        loaders in sequence (runs/run.py)."""
         if self._proc_pool is not None:
             self._proc_pool.shutdown(wait=False, cancel_futures=True)
+            self._proc_pool = None
+
+    def __del__(self):
+        self.close()
 
     def set_epoch(self, epoch):
         """(reference shuffle_dataset / sampler.set_epoch)"""
@@ -152,7 +160,10 @@ class Loader:
         self.skip_batches = int(n)
 
     def _epoch_indices(self):
-        """Global shuffled stream for this (fold-)epoch, host-sharded."""
+        """Global shuffled stream for this (fold-)epoch, host-sharded.
+        Returns ``(indices, valid)``: ``valid`` marks true stream entries
+        vs host-pad duplicates, so eval metrics can exclude the pads
+        (the reference's ragged last batch has no such duplicates)."""
         n = len(self.dataset)
         chunks = []
         for fold in range(self.num_folds):
@@ -163,15 +174,18 @@ class Loader:
                 rng.shuffle(idx)
             chunks.append(idx)
         idx = np.concatenate(chunks)
+        valid = np.ones(len(idx), np.bool_)
         # pad so every host sees the same number of samples
         per_host = int(np.ceil(len(idx) / self.process_count))
         pad = per_host * self.process_count - len(idx)
         if pad:
             idx = np.concatenate([idx, idx[:pad]])
-        return idx[self.process_index::self.process_count]
+            valid = np.concatenate([valid, np.zeros(pad, np.bool_)])
+        sl = slice(self.process_index, None, self.process_count)
+        return idx[sl], valid[sl]
 
     def __len__(self):
-        n = len(self._epoch_indices())
+        n = len(self._epoch_indices()[0])
         if self.drop_last:
             return n // self.batch_size
         return int(np.ceil(n / self.batch_size))
@@ -186,22 +200,26 @@ class Loader:
             & 0x7FFFFFFF
 
     def __iter__(self):
-        indices = self._epoch_indices()
+        indices, valid = self._epoch_indices()
         batches = []
         pos = 0
         for s in range(0, len(indices), self.batch_size):
             chunk = indices[s:s + self.batch_size]
+            mask = valid[s:s + self.batch_size]
             if len(chunk) < self.batch_size:
                 if self.drop_last:
                     continue
                 # pad the final batch by cycling the stream (static shapes
                 # for jit); works even when the whole dataset is smaller
-                # than one batch. TestMeter dedups by clip id.
+                # than one batch. TestMeter dedups by clip id; eval-in-train
+                # excludes the pads via the per-sample ``_mask`` column.
                 pad = np.resize(indices, self.batch_size - len(chunk))
                 chunk = np.concatenate([chunk, pad])
+                mask = np.concatenate(
+                    [mask, np.zeros(self.batch_size - len(mask), np.bool_)])
             seeds = [self._sample_seed(pos + j) for j in range(len(chunk))]
             pos += len(chunk)
-            batches.append((chunk, seeds))
+            batches.append((chunk, seeds, mask))
         if self.skip_batches:
             # backstop (load_train_checkpoint validates the loader
             # signature first): a skip past the whole epoch means the
@@ -249,15 +267,15 @@ class Loader:
                     def refill():
                         nonlocal inflight
                         while chunks and inflight < bound:
-                            chunk, seeds = chunks.popleft()
+                            chunk, seeds, mask = chunks.popleft()
                             futs = [self._submit(pool, i, sd)
                                     for i, sd in zip(chunk, seeds)]
                             inflight += len(futs)
-                            chunk_futs.append(futs)
+                            chunk_futs.append((futs, mask))
 
                     refill()
                     while chunk_futs and not stop.is_set():
-                        futs = chunk_futs.popleft()
+                        futs, mask = chunk_futs.popleft()
                         samples = [f.result() for f in futs]
                         inflight -= len(futs)
                         refill()  # keep workers busy while we stack + block
@@ -265,6 +283,10 @@ class Loader:
                             k: np.stack([s[k] for s in samples])
                             for k in samples[0]
                         }
+                        if not self.drop_last:
+                            # validity column for eval metrics: 0.0 marks
+                            # host-shard / final-batch pad duplicates
+                            batch["_mask"] = mask.astype(np.float32)
                         if self.collate_fn is not None:
                             batch = self.collate_fn(batch)
                         if not put(batch):

@@ -22,14 +22,18 @@ from dist_tpu.optim.losses import calculate_loss
 from dist_tpu.utils.metrics import joint_topks_correct, topks_correct
 
 
-def _epic_errors(preds, verb_labels, noun_labels, normalized):
+def _epic_errors(preds, verb_labels, noun_labels, normalized, weights=None):
     """Joint verb/noun/action top-1/5 errors for dict predictions
     (reference eval_epoch, runs/train.py:268-296): the action (joint) error
-    is the headline top1/top5; per-head errors ride as custom stats."""
+    is the headline top1/top5; per-head errors ride as custom stats.
+    ``weights``: optional per-sample validity (loader pad mask)."""
     counts = joint_topks_correct(preds["verb_class"], preds["noun_class"],
                                  verb_labels, noun_labels, (1, 5),
-                                 normalized=normalized)
-    n = preds["verb_class"].shape[0]
+                                 normalized=normalized, weights=weights)
+    if weights is not None:
+        n = jnp.maximum(weights.astype(jnp.float32).sum(), 1.0)
+    else:
+        n = preds["verb_class"].shape[0]
     err = {k: (1.0 - v / n) * 100.0 for k, v in counts.items()}
     return (err.pop("action_top1"), err.pop("action_top5"),
             {f"{k.rsplit('_', 1)[1]}_err_{k.rsplit('_', 1)[0]}": v
@@ -239,6 +243,13 @@ def make_eval_step(model, cfg, use_ema=False):
         inputs = {"video": _prep_video(cfg, batch["video"]),
                   "text_features": batch.get("text_features")}
         preds, _ = model.apply(variables, inputs, train=False)
+        # loader pad mask: 0.0 rows are host-shard / final-batch duplicates
+        # (data/builder.py). Excluding them here makes the in-train val mean
+        # EXACT when len(val) % global_batch != 0 — the reference's ragged
+        # last batch has no duplicates to begin with.
+        mask = batch.get("mask")
+        extra = ({} if mask is None
+                 else {"num_valid": mask.astype(jnp.float32).sum()})
         if isinstance(preds, dict):
             if "label_verb" in batch:
                 # in-train EPIC eval: joint action error + per-head stats
@@ -246,18 +257,22 @@ def make_eval_step(model, cfg, use_ema=False):
                 # metrics from the raw preds)
                 top1, top5, head_errs = _epic_errors(
                     preds, batch["label_verb"], batch["label_noun"],
-                    normalized=head_normalized)
+                    normalized=head_normalized, weights=mask)
                 return {"preds": preds, "top1_err": top1, "top5_err": top5,
-                        **head_errs}
+                        **head_errs, **extra}
             return {"preds": preds,
                     "top1_err": jnp.float32(0.0),
-                    "top5_err": jnp.float32(0.0)}
-        c1, c5 = topks_correct(preds, batch["labels"], (1, 5))
-        n = preds.shape[0]
+                    "top5_err": jnp.float32(0.0), **extra}
+        c1, c5 = topks_correct(preds, batch["labels"], (1, 5), weights=mask)
+        if mask is not None:
+            n = jnp.maximum(mask.astype(jnp.float32).sum(), 1.0)
+        else:
+            n = preds.shape[0]
         return {
             "preds": preds,
             "top1_err": (1.0 - c1 / n) * 100.0,
             "top5_err": (1.0 - c5 / n) * 100.0,
+            **extra,
         }
 
     return step

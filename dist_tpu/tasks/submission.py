@@ -24,33 +24,9 @@ from dist_tpu.utils import logging
 logger = logging.get_logger(__name__)
 
 
-def submission_test(cfg):
-    np.random.seed(int(cfg.RANDOM_SEED))
-    logging.setup_logging(cfg, cfg.TEST.LOG_FILE)
-
-    mesh = build_mesh(cfg)
-    model = build_model(cfg)
-    loader = build_loader(cfg, "submission")
-    dataset = loader.dataset
-    num_views = cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
-    num_videos = len(dataset) // num_views
-
-    first_batch = next(iter(loader))
-    state = _init_test_state(cfg, model, first_batch)
-    state = cu.load_test_checkpoint(cfg, state)
-
-    from dist_tpu.tasks.state import compute_text_features
-    text_features = compute_text_features(
-        model, state.variables, getattr(dataset, "text_tokens", None), mesh)
-
-    nc = cfg.VIDEO.HEAD.NUM_CLASSES
-    dual = isinstance(nc, (list, tuple))
-    if dual:
-        video_preds = {"verb": np.zeros((num_videos, nc[0]), np.float64),
-                       "noun": np.zeros((num_videos, nc[1]), np.float64)}
-    else:
-        video_preds = np.zeros((num_videos, int(nc)), np.float64)
-    seen = set()  # dedup padded duplicate views (loader cycles indices)
+def _submission_forward(cfg, mesh, model, state, loader, text_features,
+                        video_preds, seen, num_views, dual):
+    """The multi-view forward/gather loop, accumulating per-video scores."""
     with mesh:
         state = shard_params(mesh, state,
                              fsdp=bool(cfg.TPU.get("FSDP", False)))
@@ -84,6 +60,39 @@ def submission_test(cfg):
                 else:
                     video_preds[v] += np.asarray(preds)[i]
 
+
+def submission_test(cfg):
+    np.random.seed(int(cfg.RANDOM_SEED))
+    logging.setup_logging(cfg, cfg.TEST.LOG_FILE)
+
+    mesh = build_mesh(cfg)
+    model = build_model(cfg)
+    loader = build_loader(cfg, "submission")
+    dataset = loader.dataset
+    num_views = cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
+    num_videos = len(dataset) // num_views
+
+    first_batch = next(iter(loader))
+    state = _init_test_state(cfg, model, first_batch)
+    state = cu.load_test_checkpoint(cfg, state)
+
+    from dist_tpu.tasks.state import compute_text_features
+    text_features = compute_text_features(
+        model, state.variables, getattr(dataset, "text_tokens", None), mesh)
+
+    nc = cfg.VIDEO.HEAD.NUM_CLASSES
+    dual = isinstance(nc, (list, tuple))
+    if dual:
+        video_preds = {"verb": np.zeros((num_videos, nc[0]), np.float64),
+                       "noun": np.zeros((num_videos, nc[1]), np.float64)}
+    else:
+        video_preds = np.zeros((num_videos, int(nc)), np.float64)
+    seen = set()  # dedup padded duplicate views (loader cycles indices)
+    try:
+        _submission_forward(cfg, mesh, model, state, loader, text_features,
+                            video_preds, seen, num_views, dual)
+    finally:
+        loader.close()  # don't leak process-pool workers into the run list
     def video_name(v):
         """Collision-free name: the video's path relative to the data root,
         extension stripped (basenames alone can repeat across directories)."""

@@ -72,11 +72,15 @@ def test(cfg):
         # base_blocks.py:36-61 gated on cfg.VISUALIZATION.*)
         logger.info("VISUALIZATION.FEATURE_MAPS written for batch 0")
 
-    with mesh:
-        state = shard_params(mesh, state,
-                             fsdp=bool(cfg.TPU.get("FSDP", False)))
-        eval_step = jax.jit(make_eval_step(model, cfg))
-        perform_test(cfg, mesh, state, eval_step, loader, meter, text_features)
+    try:
+        with mesh:
+            state = shard_params(mesh, state,
+                                 fsdp=bool(cfg.TPU.get("FSDP", False)))
+            eval_step = jax.jit(make_eval_step(model, cfg))
+            perform_test(cfg, mesh, state, eval_step, loader, meter,
+                         text_features)
+    finally:
+        loader.close()  # don't leak process-pool workers into the run list
 
     results = meter.finalize_metrics()
     _save_epic_preds(cfg, meter)

@@ -69,12 +69,20 @@ def _agreed_preempted(cfg):
     return collectives.any_flag(_PREEMPTED.is_set())
 
 
+# distinguishes "handler never installed" from a previous disposition of
+# None (signal.signal returns None when the prior handler was installed
+# outside Python, e.g. by an embedding runtime) — conflating the two would
+# leave the flag-setting handler swallowing SIGTERM for the rest of the
+# process after training
+_HANDLER_NOT_INSTALLED = object()
+
+
 def _install_preemption_handler():
     """Returns the previous SIGTERM disposition (to restore after the
     train loop — leaving the flag-setting handler installed would swallow
     SIGTERM for the rest of the process, e.g. the hours-long multi-view
-    test phase that follows train in the same run list), or None when not
-    on the main thread."""
+    test phase that follows train in the same run list), or
+    ``_HANDLER_NOT_INSTALLED`` when not on the main thread."""
     def _on_sigterm(signum, frame):
         logger.info("SIGTERM: will checkpoint at the next step boundary.")
         _PREEMPTED.set()
@@ -84,7 +92,7 @@ def _install_preemption_handler():
     except ValueError:
         # not the main thread (embedded use); preemption save unavailable
         logger.info("Not installing SIGTERM handler (non-main thread).")
-        return None
+        return _HANDLER_NOT_INSTALLED
 
 
 def _poll_stop(cfg, boundary_iter, multihost, sync_period):
@@ -165,7 +173,7 @@ def train(cfg):
         val_meter = ValMeter(len(val_loader), cfg)
 
         _PREEMPTED.clear()
-        prev_sigterm = None
+        prev_sigterm = _HANDLER_NOT_INSTALLED
         if bool(cfg.TRAIN.get("SAVE_ON_PREEMPTION", True)):
             prev_sigterm = _install_preemption_handler()
         run_iters = [0]  # fault-injection counter (TRAIN.PREEMPT_AFTER_ITERS)
@@ -182,11 +190,20 @@ def train(cfg):
                         start_epoch, start_iter, num_folds, run_iters)
             state = state_box[0]
         finally:
-            if prev_sigterm is not None:
-                # restore the default disposition: after training, a
+            if prev_sigterm is not _HANDLER_NOT_INSTALLED:
+                # restore the previous disposition: after training, a
                 # preemption SIGTERM should terminate the process (the
-                # test/submission phases have nothing to checkpoint)
-                signal.signal(signal.SIGTERM, prev_sigterm)
+                # test/submission phases have nothing to checkpoint). A
+                # None previous disposition means "installed outside
+                # Python" — restore SIG_DFL, the closest restorable state.
+                signal.signal(signal.SIGTERM,
+                              prev_sigterm if prev_sigterm is not None
+                              else signal.SIG_DFL)
+            # release worker pools NOW (a process-pool loader would
+            # otherwise keep idle spawned workers alive until GC while the
+            # rest of the run list executes)
+            train_loader.close()
+            val_loader.close()
         cu.wait_until_finished()  # join an in-flight async checkpoint commit
     return state
 
@@ -357,6 +374,13 @@ def eval_epoch(cfg, mesh, state, eval_step, loader, meter, cur_epoch,
         # cross-host-sharded array raises
         metrics = jax.device_get(
             {k: v for k, v in metrics.items() if k != "preds"})
+        # the step's errors are means over VALID samples only (pad mask);
+        # weight the meter by the valid count so the epoch mean is exact
+        nv = metrics.pop("num_valid", None)
+        if nv is not None:
+            mb = float(nv)
+        if mb <= 0:
+            return  # batch entirely pad duplicates
         meter.update_stats(float(metrics["top1_err"]),
                            float(metrics["top5_err"]), mb)
         extra = {k: float(v) for k, v in metrics.items()
@@ -374,6 +398,9 @@ def eval_epoch(cfg, mesh, state, eval_step, loader, meter, cur_epoch,
             logger.info("Preemption: aborting eval at iter %d.", cur_iter)
             return None
         host_batch = {"video": batch["video"], "labels": batch["label"]}
+        if "_mask" in batch:
+            # loader validity column: excludes pad duplicates from metrics
+            host_batch["mask"] = batch["_mask"]
         for extra_key in ("label_verb", "label_noun"):
             if extra_key in batch:
                 # EPIC dual labels: the eval step reports the joint action

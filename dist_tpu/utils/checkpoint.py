@@ -92,6 +92,18 @@ def prune_old_checkpoints(cfg):
             logger.info("Pruned old checkpoint %s (KEEP_LAST=%d)", path, keep)
         except OSError as e:  # never fail training over GC
             logger.warning("Could not prune %s: %s", path, e)
+    # orphaned sidecars: an async save that crashed before commit leaves a
+    # `<name>.config.yaml` with no checkpoint dir (the sidecar is written at
+    # issue time); they match no checkpoint so the loop above never removes
+    # them — sweep them here so they can't accumulate forever
+    try:
+        for f in os.listdir(d):
+            if f.endswith(".config.yaml") and not os.path.isdir(
+                    os.path.join(d, f[:-len(".config.yaml")])):
+                os.remove(os.path.join(d, f))
+                logger.info("Removed orphan config sidecar %s", f)
+    except OSError as e:
+        logger.warning("Could not sweep orphan sidecars in %s: %s", d, e)
 
 
 def _loader_signature(cfg, dataset_len=-1):
@@ -355,27 +367,42 @@ def load_train_checkpoint(cfg, state, dataset_len=-1):
             payload["ema_variables"] = state.ema_variables
         try:
             restored = load_checkpoint(path, payload)
-        except Exception:
-            # MODEL.EMA toggled between save and resume: the template's
-            # tree structure no longer matches the checkpoint's. Retry with
-            # the flipped template instead of aborting the run.
+        except Exception as orig:
+            # One known-benign cause: MODEL.EMA toggled between save and
+            # resume, so the template's tree structure no longer matches
+            # the checkpoint's. Log the ORIGINAL error, retry once with the
+            # EMA-flipped template, and if that also fails re-raise the
+            # original (a genuinely corrupt/truncated checkpoint must not
+            # hide behind a misleading second template error).
+            logger.warning(
+                "Restore of %s with the configured template failed (%s: "
+                "%s); retrying with the EMA-flipped template in case "
+                "MODEL.EMA was toggled since the save.",
+                path, type(orig).__name__, orig)
             alt = dict(payload)
-            if "ema_variables" in alt:
-                del alt["ema_variables"]
-                restored = load_checkpoint(path, alt)
-                # EMA (re)starts from the restored weights, like a fresh
-                # EMA init would
-                restored["ema_variables"] = restored["variables"]
-                logger.warning(
-                    "Checkpoint %s has no EMA state but EMA is enabled; "
-                    "EMA restarts from the restored weights.", path)
-            else:
-                alt["ema_variables"] = state.variables
-                restored = load_checkpoint(path, alt)
-                restored.pop("ema_variables", None)
-                logger.warning(
-                    "Checkpoint %s carries EMA state but EMA is disabled; "
-                    "dropping it.", path)
+            try:
+                if "ema_variables" in alt:
+                    del alt["ema_variables"]
+                    restored = load_checkpoint(path, alt)
+                    # EMA (re)starts from the restored weights, like a
+                    # fresh EMA init would
+                    restored["ema_variables"] = restored["variables"]
+                    logger.warning(
+                        "Checkpoint %s has no EMA state but EMA is enabled; "
+                        "EMA restarts from the restored weights.", path)
+                else:
+                    alt["ema_variables"] = state.variables
+                    restored = load_checkpoint(path, alt)
+                    restored.pop("ema_variables", None)
+                    logger.warning(
+                        "Checkpoint %s carries EMA state but EMA is "
+                        "disabled; dropping it.", path)
+            except Exception:
+                logger.error(
+                    "EMA-flipped retry of %s also failed; the checkpoint "
+                    "is likely corrupt or structurally incompatible — "
+                    "re-raising the original error.", path)
+                raise orig
         state = state.replace(
             step=restored["step"], variables=restored["variables"],
             opt_state=restored["opt_state"],

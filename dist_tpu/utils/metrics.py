@@ -9,15 +9,21 @@ import jax
 import jax.numpy as jnp
 
 
-def topks_correct(preds, labels, ks):
+def topks_correct(preds, labels, ks, weights=None):
     """Number of top-k correct predictions for each k
-    (utils/metrics.py:102-135). preds (N, C), labels (N,)."""
+    (utils/metrics.py:102-135). preds (N, C), labels (N,).
+
+    ``weights`` (N,) optional per-sample weights — used by eval-in-train to
+    zero out loader pad duplicates so the epoch mean matches the unpadded
+    dataset exactly."""
     # clamp k to the class count (tiny smoke heads can have < 5 classes)
     c = preds.shape[-1]
     max_k = min(max(ks), c)
     _, top_idx = jax.lax.top_k(preds, max_k)          # (N, max_k)
-    correct = top_idx == labels[:, None]              # (N, max_k)
-    return [jnp.sum(correct[:, :min(k, c)]).astype(jnp.float32) for k in ks]
+    correct = (top_idx == labels[:, None]).astype(jnp.float32)  # (N, max_k)
+    if weights is not None:
+        correct = correct * weights.astype(jnp.float32)[:, None]
+    return [jnp.sum(correct[:, :min(k, c)]) for k in ks]
 
 
 def topk_errors(preds, labels, ks):
@@ -32,7 +38,7 @@ def topk_accuracies(preds, labels, ks):
 
 
 def joint_topks_correct(verb_preds, noun_preds, verb_labels, noun_labels, ks,
-                        normalized=False):
+                        normalized=False, weights=None):
     """EPIC joint action top-k: outer product of verb/noun scores
     (utils/metrics.py:12-99). Returns dict of correct counts per k.
 
@@ -52,10 +58,10 @@ def joint_topks_correct(verb_preds, noun_preds, verb_labels, noun_labels, ks,
     out = {}
     for name, p, l in (("verb", verb_preds, verb_labels),
                        ("noun", noun_preds, noun_labels)):
-        cs = topks_correct(p, l, ks)
+        cs = topks_correct(p, l, ks, weights=weights)
         for k, c in zip(ks, cs):
             out[f"{name}_top{k}"] = c
-    cs = topks_correct(flat, labels_flat, ks)
+    cs = topks_correct(flat, labels_flat, ks, weights=weights)
     for k, c in zip(ks, cs):
         out[f"action_top{k}"] = c
     return out

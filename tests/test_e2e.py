@@ -132,3 +132,47 @@ def test_checkpoint_resume_stays_on_fold_grid(tmp_path):
     assert int(restored.step) == 7
     # remaining epochs stay divisible by NUM_FOLDS (the train-loop assert)
     assert (cfg.OPTIMIZER.MAX_EPOCH - start_epoch) % 2 == 0
+
+
+def test_val_padding_excluded_from_metrics(tiny_cfg, trained):
+    """len(val) % global_batch != 0: the in-train val mean must equal the
+    exact unpadded per-sample mean — loader pad duplicates (host-shard +
+    final-batch cycling, data/builder.py) are excluded via the `_mask`
+    column threaded into the eval step."""
+    import jax
+    import numpy as np
+    from dist_tpu.data.builder import build_loader
+    from dist_tpu.models.base.models import build_model
+    from dist_tpu.parallel.mesh import build_mesh, shard_params
+    from dist_tpu.tasks.state import make_eval_step
+    from dist_tpu.tasks.train import eval_epoch
+    from dist_tpu.utils.meters import ValMeter
+
+    from dist_tpu.tasks.state import compute_text_features
+
+    cfg = tiny_cfg.deep_copy()
+    cfg.TRAIN.NUM_SAMPLES_LIMIT = 13  # 13 % (1 x 8 devices) != 0 -> pads to 16
+    mesh = build_mesh(cfg)
+    model = build_model(cfg)
+    loader = build_loader(cfg, "val")
+    variables = jax.device_get(trained.variables)
+    text_features = compute_text_features(
+        model, variables, loader.dataset.text_tokens, mesh)
+    with mesh:
+        state = shard_params(mesh, trained, fsdp=False)
+        eval_step = jax.jit(make_eval_step(model, cfg))
+        meter = ValMeter(len(loader), cfg)
+        stats = eval_epoch(cfg, mesh, state, eval_step, loader, meter, 0,
+                           text_features)
+
+    # ground truth: the same model applied to exactly the 13 true samples
+    ds = loader.dataset
+    videos = np.stack([ds[i]["video"] for i in range(13)])
+    labels = np.asarray([ds[i]["label"] for i in range(13)])
+    tf_host = jax.device_get(text_features)
+    preds, _ = jax.jit(lambda v, b, t: model.apply(
+        v, {"video": b, "text_features": t}, train=False))(
+            variables, videos, tf_host)
+    preds = np.asarray(preds)
+    top1 = float((preds.argmax(-1) != labels).mean() * 100.0)
+    assert abs(float(stats["top1_err"]) - top1) < 1e-3

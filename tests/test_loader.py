@@ -56,6 +56,34 @@ def test_eval_padding_wraps_final_batch():
     assert list(batches[-1]["x"]) == [8, 9, 0, 1]
 
 
+def test_pad_mask_marks_duplicates():
+    """Non-drop_last loaders emit a `_mask` validity column: 1.0 for true
+    stream entries, 0.0 for final-batch pad duplicates — eval metrics weight
+    by it so the epoch mean is exact when len(ds) % batch != 0."""
+    ds = _ToyDataset(10)
+    loader = Loader(ds, batch_size=4, shuffle=False, drop_last=False,
+                    num_workers=1)
+    batches = list(loader)
+    assert all("_mask" in b for b in batches)
+    assert float(np.concatenate([b["_mask"] for b in batches]).sum()) == 10
+    assert batches[-1]["_mask"].tolist() == [1.0, 1.0, 0.0, 0.0]
+    # drop_last (train) loaders never pad, so no column
+    tr = Loader(ds, batch_size=5, shuffle=True, drop_last=True, num_workers=1)
+    assert "_mask" not in next(iter(tr))
+
+
+def test_pad_mask_multihost_counts_each_sample_once():
+    """Host-shard padding (ceil division across processes) is also masked:
+    summing `_mask` across all hosts equals the dataset size exactly."""
+    ds = _ToyDataset(11)
+    total = 0.0
+    for rank in range(2):
+        loader = Loader(ds, batch_size=2, shuffle=False, drop_last=False,
+                        num_workers=1, process_index=rank, process_count=2)
+        total += sum(float(b["_mask"].sum()) for b in loader)
+    assert total == 11
+
+
 def test_host_sharding_partitions_stream():
     ds = _ToyDataset(8)
     shards = []
@@ -93,7 +121,7 @@ def test_multihost_index_sharding_partitions_stream():
     loaders = [Loader(ds, batch_size=2, shuffle=False, drop_last=False,
                       num_workers=1, process_index=i, process_count=2)
                for i in range(2)]
-    streams = [l._epoch_indices() for l in loaders]
+    streams = [l._epoch_indices()[0] for l in loaders]
     assert len(streams[0]) == len(streams[1]) == 6  # ceil(11/2), padded
     combined = sorted(int(i) for s in streams for i in s)
     assert combined == sorted(list(range(11)) + [0])  # wrap-pad with idx 0

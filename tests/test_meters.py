@@ -144,3 +144,56 @@ def test_train_meter_eta_uses_per_iteration_time():
         meter.iter_toc()
     per_iter = meter.iter_timer.seconds()
     assert 0.005 < per_iter < 0.05, per_iter  # one iteration, not the sum
+
+
+def test_topks_correct_weights_exclude_pads():
+    """Weighted top-k counts: pad rows (weight 0) contribute nothing, so the
+    masked batch reproduces the unpadded counts exactly."""
+    import jax.numpy as jnp
+    from dist_tpu.utils.metrics import topks_correct
+
+    preds = jnp.asarray([[0.9, 0.1, 0.0],   # correct (label 0)
+                         [0.1, 0.8, 0.1],   # correct (label 1)
+                         [0.7, 0.2, 0.1],   # wrong   (label 2)
+                         [0.9, 0.1, 0.0]])  # pad duplicate of row 0
+    labels = jnp.asarray([0, 1, 2, 0])
+    weights = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+    c1, c5 = topks_correct(preds, labels, (1, 5), weights=weights)
+    u1, u5 = topks_correct(preds[:3], labels[:3], (1, 5))
+    assert float(c1) == float(u1) == 2.0
+    assert float(c5) == float(u5) == 3.0
+
+
+def test_eval_step_mask_matches_unpadded_batch():
+    """make_eval_step with a loader pad mask returns the same errors as the
+    unpadded batch, plus num_valid for the meter weighting (fixes the
+    in-train val bias when len(val) % global_batch != 0)."""
+    import jax
+    import jax.numpy as jnp
+    from dist_tpu.tasks.state import TrainState, make_eval_step
+
+    class _Scorer:
+        """Duck-typed model: scores = first 4 pixels of each clip."""
+
+        def apply(self, variables, inputs, train=False):
+            v = inputs["video"]
+            preds = v.reshape(v.shape[0], -1)[:, :4]
+            return preds, preds
+
+    cfg = load_config(os.path.join(REPO, "configs/pool/base.yaml"),
+                      make_output_dir=False)
+    step = make_eval_step(_Scorer(), cfg)
+    state = TrainState(step=jnp.zeros((), jnp.int32), variables={},
+                       opt_state=(), ema_variables=None)
+    video = jax.random.normal(jax.random.PRNGKey(0), (6, 2, 4, 4, 3))
+    labels = jnp.asarray([0, 1, 2, 3, 0, 1])
+    # pad the batch to 8 by repeating the first two rows, mask them out
+    padded = jnp.concatenate([video, video[:2]])
+    plabels = jnp.concatenate([labels, labels[:2]])
+    mask = jnp.asarray([1.0] * 6 + [0.0] * 2)
+
+    exact = step(state, {"video": video, "labels": labels})
+    masked = step(state, {"video": padded, "labels": plabels, "mask": mask})
+    assert float(masked["num_valid"]) == 6.0
+    assert abs(float(masked["top1_err"]) - float(exact["top1_err"])) < 1e-5
+    assert abs(float(masked["top5_err"]) - float(exact["top5_err"])) < 1e-5

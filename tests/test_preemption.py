@@ -234,3 +234,27 @@ def test_preempt_resume_matches_uninterrupted(tmp_path):
         assert pa == pb
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0,
                                    atol=0, err_msg=str(pa))
+
+
+def test_retention_sweeps_orphan_sidecars(tmp_path):
+    """An async save that dies before commit leaves a `.config.yaml`
+    sidecar with no checkpoint dir; retention GC removes such orphans
+    (sidecars of live checkpoints survive)."""
+    import jax.numpy as jnp
+
+    from dist_tpu.tasks.state import TrainState
+    from dist_tpu.utils import checkpoint as cu
+
+    cfg = _cfg(tmp_path, "TRAIN.CHECKPOINT_KEEP_LAST", "2")
+    state = TrainState(step=jnp.asarray(0, jnp.int32),
+                       variables={"params": {"w": jnp.ones((2,))}},
+                       opt_state={"m": jnp.zeros((2,))}, ema_variables=None)
+    cu.save_checkpoint(cfg, state, cur_epoch=0)
+    d = cu.checkpoint_dir(cfg)
+    orphan = os.path.join(d, "checkpoint_epoch_00099.config.yaml")
+    with open(orphan, "w") as f:
+        f.write("# orphan from a crashed async save\n")
+    cu.prune_old_checkpoints(cfg)
+    assert not os.path.exists(orphan)
+    live = os.path.join(d, "checkpoint_epoch_00001.config.yaml")
+    assert os.path.exists(live)  # sidecar of a committed ckpt survives

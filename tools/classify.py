@@ -62,9 +62,9 @@ def main():
     # (data/base_dataset.py::resolve_label_texts)
     from dist_tpu.data.base_dataset import resolve_label_texts
     text_features = None
+    # NUM_CLASSES is guaranteed scalar by the dual-head assert above
     label_names, tokens = resolve_label_texts(
-        cfg, int(cfg.VIDEO.HEAD.NUM_CLASSES)
-        if not isinstance(cfg.VIDEO.HEAD.NUM_CLASSES, (list, tuple)) else 0)
+        cfg, int(cfg.VIDEO.HEAD.NUM_CLASSES))
     if tokens is not None:
         from dist_tpu.tasks.state import compute_text_features
         text_features = compute_text_features(model, state.variables, tokens)
