@@ -72,9 +72,19 @@ class BMNHead(nn.Module):
         h = nn.Conv(hidden, (3, 3), padding=((1, 1), (1, 1)),
                     name="pem_conv")(h)
         h = nn.relu(h)
-        h = nn.Dense(2, name="pem_fc2")(h)                # (B, D, T, 2)
+        conf = nn.Dense(2, name="pem_fc2")(h)             # (B, D, T, 2)
         confidence = jax.nn.sigmoid(
-            jnp.moveaxis(h, -1, 1).astype(jnp.float32))   # (B, 2, D, T)
+            jnp.moveaxis(conf, -1, 1).astype(jnp.float32))  # (B, 2, D, T)
 
         preds = {"start": start, "end": end, "confidence_map": confidence}
+
+        nc = self.cfg.VIDEO.HEAD.get("NUM_CLASSES")
+        if isinstance(nc, (list, tuple)) and len(nc) == 2:
+            # EPIC-KITCHENS detection: per-proposal verb/noun classification
+            # maps (the reference's BMN outputs carry verb_map/noun_map,
+            # consumed by parse_epic_bmn_proposals, utils/tal_tools.py:67-136)
+            for name, n in (("verb", int(nc[0])), ("noun", int(nc[1]))):
+                logits = nn.Dense(n, name=f"{name}_map_fc")(h)  # (B,D,T,n)
+                preds[f"{name}_map"] = jax.nn.softmax(
+                    jnp.moveaxis(logits, -1, 1).astype(jnp.float32), axis=1)
         return preds, x

@@ -103,6 +103,133 @@ def evaluate_detection(ground_truth, predictions,
     return result
 
 
+class EpicDetection:
+    """EPIC-KITCHENS grouped detection evaluation (reference
+    utils/eval_tal/eval_epic_detection.py:17-374, ``Epicdetection``):
+    per-class detection AP over tIoU thresholds, reported three ways —
+    grouped by action label ("verb,noun" strings), by verb id, and by noun
+    id. ``assign_class`` restricts the action evaluation to one label
+    (the reference's debugging filter, eval_epic_detection.py:34-36,196).
+
+    Ground truth: ActivityNet-style JSON —
+      {"database": {vid: {"subset": ..., "annotations":
+          [{"segment": [s, e], "label": "verb,noun"}]}}}
+    Predictions: the detection results JSON written by
+    ``tal.tools.localization_post_processing`` —
+      {"results": {vid: [{"segment": [s, e], "label": "verb,noun",
+                          "verb": v, "noun": n, "score": p}]}}
+    """
+
+    def __init__(self, ground_truth_filename, prediction_filename,
+                 tiou_thresholds=np.linspace(0.5, 0.95, 10),
+                 subset="validation", assign_class=None, verbose=False):
+        import json
+
+        self.tiou_thresholds = np.asarray(tiou_thresholds, np.float64)
+        self.subset = subset
+        self.assign_class = assign_class
+        self.verbose = verbose
+
+        with open(ground_truth_filename) as f:
+            data = json.load(f)
+        if "database" not in data:
+            raise IOError("Please input a valid ground truth file.")
+        # activity_index assigns class ids in first-seen order
+        # (eval_epic_detection.py:84-113); verb/noun ids come from the
+        # "verb,noun" label strings
+        self.activity_index = {}
+        self.gt = []            # (vid, t_start, t_end, label_id, verb, noun)
+        self.verb_labels = {}
+        self.noun_labels = {}
+        for vid, v in data["database"].items():
+            if v.get("subset", subset) != self.subset:
+                continue
+            for ann in v["annotations"]:
+                lab = ann["label"]
+                if lab not in self.activity_index:
+                    self.activity_index[lab] = len(self.activity_index)
+                verb, noun = (int(x) for x in lab.split(","))
+                self.verb_labels.setdefault(verb, len(self.verb_labels))
+                self.noun_labels.setdefault(noun, len(self.noun_labels))
+                self.gt.append((vid, float(ann["segment"][0]),
+                                float(ann["segment"][1]),
+                                self.activity_index[lab], verb, noun))
+
+        with open(prediction_filename) as f:
+            data = json.load(f)
+        if "results" not in data:
+            raise IOError("Please input a valid prediction file.")
+        self.pred = []
+        for vid, v in data["results"].items():
+            for r in v:
+                lab = r.get("label", r.get("action"))
+                if lab not in self.activity_index:
+                    # unseen-class predictions are dropped, like the
+                    # reference (eval_epic_detection.py:153-154)
+                    continue
+                verb, noun = (int(x) for x in lab.split(","))
+                self.pred.append((vid, float(r["segment"][0]),
+                                  float(r["segment"][1]),
+                                  self.activity_index[lab],
+                                  int(r.get("verb", verb)),
+                                  int(r.get("noun", noun)),
+                                  float(r["score"])))
+        if self.verbose:
+            logger.info("[INIT] %d GT instances, %d predictions, subset=%s",
+                        len(self.gt), len(self.pred), self.subset)
+
+    def _ap_matrix(self, group_of_gt, group_of_pred, group_ids):
+        """AP per (tIoU, group) for an arbitrary grouping key."""
+        gt_by_group = {g: {} for g in group_ids}
+        for (vid, ts, te, *_), g in zip(self.gt, map(group_of_gt, self.gt)):
+            if g in gt_by_group:  # assign_class restricts the group set
+                gt_by_group[g].setdefault(vid, []).append((ts, te))
+        pred_by_group = {g: [] for g in group_ids}
+        for p in self.pred:
+            g = group_of_pred(p)
+            if g in pred_by_group:
+                pred_by_group[g].append((p[0], p[1], p[2], p[6]))
+        for g in pred_by_group:
+            pred_by_group[g].sort(key=lambda x: -x[3])
+        ap = np.zeros((len(self.tiou_thresholds), len(group_ids)))
+        for gi, g in enumerate(group_ids):
+            for ti, tiou in enumerate(self.tiou_thresholds):
+                ap[ti, gi] = _ap_for_class(gt_by_group[g], pred_by_group[g],
+                                           tiou)
+        return ap
+
+    def evaluate(self):
+        """Returns {"action": ..., "verb": ..., "noun": ...} with mAP,
+        per-tIoU mAP, and the per-group AP matrix for each grouping
+        (reference evaluate(), eval_epic_detection.py:231-242; the verbose
+        per-tIoU line mirrors print_map, 244-254)."""
+        groupings = {
+            "action": (lambda r: r[3], lambda p: p[3],
+                       list(self.activity_index.values())),
+            "verb": (lambda r: r[4], lambda p: p[4],
+                     list(self.verb_labels.keys())),
+            "noun": (lambda r: r[5], lambda p: p[5],
+                     list(self.noun_labels.keys())),
+        }
+        if self.assign_class is not None:
+            cidx = self.activity_index[self.assign_class]
+            groupings = {"action": (lambda r: r[3], lambda p: p[3], [cidx])}
+        out = {}
+        for name, (gof, pof, ids) in groupings.items():
+            ap = self._ap_matrix(gof, pof, ids)
+            map_per_tiou = np.nanmean(ap, axis=1) if ap.size else \
+                np.zeros(len(self.tiou_thresholds))
+            out[name] = {
+                "mAP": float(np.nanmean(map_per_tiou)),
+                "mAP_per_tiou": [float(x) for x in map_per_tiou],
+                "ap": ap,
+            }
+            logger.info("%s mAP: %.4f (%s)", name, out[name]["mAP"],
+                        ", ".join("%.2f:%.4f" % (t, m) for t, m in
+                                  zip(self.tiou_thresholds, map_per_tiou)))
+        return out
+
+
 def evaluate_detection_files(video_anno_file, detection_result_file,
                              tiou_thresholds=np.linspace(0.5, 0.95, 10)):
     """File-based entry matching the reference API

@@ -99,3 +99,58 @@ def test_bmn_losses_differentiable():
     g = jax.grad(loss_fn)(variables)
     gn = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
     assert np.isfinite(gn) and gn > 0
+
+
+@pytest.mark.slow  # heavy compile (fast-lane budget, README: Tests)
+def test_bmn_forward_to_detection_map(tmp_path):
+    """Full TAL chain on synthetic features: BMNHead forward (with EPIC
+    verb/noun maps) -> parse_bmn_proposals -> localization_post_processing
+    -> detection JSON -> EpicDetection grouped mAP. Covers the
+    reference's missing-driver gap end-to-end (utils/tal_tools.py:170-298,
+    eval_epic_detection.py:17-374)."""
+    import json
+
+    from dist_tpu.models.base.models import build_model
+    from dist_tpu.tal.eval import EpicDetection
+    from dist_tpu.tal.tools import (localization_post_processing,
+                                    parse_bmn_proposals)
+
+    cfg = _loc_cfg()
+    cfg.VIDEO.HEAD.NUM_CLASSES = [6, 9]  # verb/noun -> head emits maps
+    model = build_model(cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 12))
+    variables = model.init(jax.random.PRNGKey(1), {"video": feats})
+    preds, _ = model.apply(variables, {"video": feats}, train=False)
+    assert preds["verb_map"].shape == (2, 6, 8, 16)
+    assert preds["noun_map"].shape == (2, 9, 8, 16)
+
+    video_props = {}
+    durations = [12.0, 20.0]
+    for b, name in enumerate(["v1", "v2"]):
+        props = parse_bmn_proposals(
+            np.asarray(preds["start"][b]), np.asarray(preds["end"][b]),
+            np.asarray(preds["confidence_map"][b]),
+            verb_map=np.asarray(preds["verb_map"][b]),
+            noun_map=np.asarray(preds["noun_map"][b]), top_k=5)
+        assert len(props["score"]) > 0
+        assert props["vn_index"].shape[1:] == (5, 2)
+        video_props[name] = (props, durations[b])
+
+    out_path = str(tmp_path / "detections.json")
+    output, _ = localization_post_processing(cfg, video_props,
+                                             out_path=out_path)
+    assert set(output["results"]) == {"v1", "v2"}
+    assert all(len(v) > 0 for v in output["results"].values())
+
+    # GT built from each video's top detection: the pipeline must then
+    # score a positive grouped mAP on its own output
+    gt = {"database": {}}
+    for name, dets in output["results"].items():
+        top = max(dets, key=lambda d: d["score"])
+        gt["database"][name] = {"subset": "validation", "annotations": [
+            {"segment": top["segment"], "label": top["label"]}]}
+    gt_file = str(tmp_path / "gt.json")
+    json.dump(gt, open(gt_file, "w"))
+    res = EpicDetection(gt_file, out_path).evaluate()
+    for group in ("action", "verb", "noun"):
+        assert 0.0 < res[group]["mAP"] <= 1.0
