@@ -126,12 +126,23 @@ def run(mode, cfg, built):
     clips_per_sec = _measure(forward, variables, video_u8, text_features)
     metric = ("train_clips_per_sec_per_chip" if mode == "train"
               else "clips_per_sec_per_chip")
-    return {
+    out = {
         "metric": metric,
         "value": round(clips_per_sec, 2),
         "unit": "clips/s",
         "vs_baseline": round(clips_per_sec / REFERENCE_CLIPS_PER_SEC, 3),
     }
+    if os.environ.get("BENCH_MEMSTATS"):
+        # HBM accounting for recipe documentation (peak/in-use bytes);
+        # not every PJRT backend exposes memory_stats
+        try:
+            ms = jax.local_devices()[0].memory_stats() or {}
+            for k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit"):
+                if k in ms:
+                    out[k] = int(ms[k])
+        except Exception:
+            pass
+    return out
 
 
 def main():
