@@ -75,6 +75,46 @@ def main():
         engine.predict(clip1)
         lat1.append((time.perf_counter() - t) * 1e3)
 
+    # --- transport vs compute decomposition ---
+    # engine.predict = H2D upload + device step + score readback. Through
+    # the axon tunnel the upload is a network hop and dominates; a
+    # production host pays PCIe instead. Measure each part so the serving
+    # table can report both the tunnel-bound end-to-end number and the
+    # device-side serving cost a colocated host would see.
+    import jax
+
+    def h2d_ms(arr):
+        ts = []
+        for _ in range(max(10, args.iters // 5)):
+            t = time.perf_counter()
+            jax.device_put(arr).block_until_ready()
+            # block_until_ready is unreliable through the tunnel; readback
+            # one element as the sync point
+            ts.append((time.perf_counter() - t) * 1e3)
+        return ts
+
+    h2d_1 = h2d_ms(clip1)
+    h2d_full = h2d_ms(clip_full)
+
+    def device_step_ms(clips):
+        from dist_tpu.parallel.mesh import shard_batch
+        n = clips.shape[0]
+        with engine.mesh:
+            batch = {"video": clips, "labels": np.zeros((n,), np.int64)}
+            batch = shard_batch(engine.mesh, batch)
+            if engine.text_features is not None:
+                batch["text_features"] = engine.text_features
+            ts = []
+            for _ in range(args.iters):
+                t = time.perf_counter()
+                preds = engine._step(engine.state, batch)
+                np.asarray(jax.device_get(preds))  # scores D2H = sync
+                ts.append((time.perf_counter() - t) * 1e3)
+        return ts
+
+    dev1 = device_step_ms(clip1)
+    dev_full = device_step_ms(clip_full)
+
     # --- padded-to-max comparison: same single clip at the full bucket ---
     lat_pad = []
     for _ in range(args.iters):
@@ -117,6 +157,7 @@ def main():
     sustained = done[0] / dt
     batcher.close()
 
+    clip_mb = clip1.nbytes / 2**20
     result = {
         "config": os.path.relpath(cfg_path, repo),
         "batch_size": args.batch,
@@ -135,6 +176,18 @@ def main():
             "clips_per_sec": round(sustained, 1),
             "seconds": round(dt, 1),
         },
+        # transport/compute split: device_step is what a colocated
+        # production host pays (its PCIe H2D replaces the tunnel upload)
+        "device_step_batch1": _percentiles(dev1),
+        "device_step_full_batch": dict(
+            _percentiles(dev_full),
+            clips_per_sec=round(args.batch * 1e3 / float(np.mean(dev_full)), 1)),
+        "h2d_upload_batch1": dict(_percentiles(h2d_1),
+                                  mb=round(clip_mb, 2)),
+        "h2d_upload_full_batch": dict(
+            _percentiles(h2d_full), mb=round(clip_mb * args.batch, 2),
+            mb_per_s=round(clip_mb * args.batch * 1e3 /
+                           float(np.mean(h2d_full)), 1)),
     }
     print(json.dumps(result))
 
