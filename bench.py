@@ -99,7 +99,13 @@ def run(mode, cfg, built):
 
         tx, lr_fn = construct_optimizer(cfg, variables, steps_per_epoch=100)
         state = create_train_state(variables, tx)
-        step = jax.jit(make_train_step(model, cfg, tx, lr_fn))
+        # donate the state like the real train loop (tasks/train.py) —
+        # without donation the step double-buffers params+moments (~2 GiB
+        # at ViT-L/14), which both misstates throughput and shrinks the
+        # measurable HBM fit boundary
+        donate = (0,) if cfg.TPU.get("DONATE_STATE", True) else ()
+        step = jax.jit(make_train_step(model, cfg, tx, lr_fn),
+                       donate_argnums=donate)
         batch = {"video": video_u8,
                  "labels": jnp.zeros((BATCH,), jnp.int32),
                  "text_features": text_features}
