@@ -56,6 +56,39 @@ def test_dry_run_reports_and_exits_zero(tmp_path):
     assert summary and summary[0]["failures"] == 0
 
 
+def _run_harness(tmp_path, *argv):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/reproduce_model_zoo.py"),
+         "--output-dir", str(tmp_path)] + list(argv),
+        capture_output=True, text=True, timeout=120, env=env, cwd=REPO)
+
+
+def test_strict_fails_loudly_when_inputs_absent(tmp_path):
+    """--strict is the acceptance stance: with no weights/data it must exit
+    2 listing every gap BEFORE evaluating, so the unproven-accuracy status
+    stays visible instead of silently green."""
+    proc = _run_harness(tmp_path, "--strict", "--configs", "ssv2")
+    assert proc.returncode == 2, proc.stdout + proc.stderr
+    lines = [json.loads(ln) for ln in proc.stdout.splitlines()
+             if ln.startswith("{")]
+    missing = [l["missing"] for l in lines
+               if "missing" in l and "summary" not in l]
+    summary = [l for l in lines if l.get("summary") == "model_zoo_repro"]
+    # 4 ssv2 rows x (root + anno + ckpt) all absent
+    assert len(missing) == 12, missing
+    assert any("ssv2_vit-l14-32+64f" in m for m in missing)
+    assert summary and "UNPROVEN" in summary[0]["error"]
+    # nothing was evaluated
+    assert not any("config" in l for l in lines)
+
+
+def test_strict_refuses_dry_run(tmp_path):
+    proc = _run_harness(tmp_path, "--strict", "--dry-run", "--configs", "ssv2")
+    assert proc.returncode == 2, proc.stdout + proc.stderr
+    assert "proves the harness" in proc.stdout
+
+
 def test_zoo_table_matches_baseline():
     """The hardcoded zoo rows stay in sync with BASELINE.md's table."""
     sys.path.insert(0, REPO)

@@ -24,6 +24,13 @@ checkpoints (incl. the old ``ladder_net.*`` naming) convert on the fly.
 weights (no assertion on accuracy) — the mode CI runs so the day real
 weights are available, acceptance is this one command.
 
+``--strict`` is the opposite stance: ACCEPTANCE means real weights and
+real data, so it refuses ``--dry-run``, pre-flights every selected zoo
+row for its dataset root/anno dir and checkpoint, and exits 2 listing
+everything missing BEFORE evaluating anything. Until a strict run
+passes, the Model-Zoo accuracy claim is unproven — a green ``--dry-run``
+only proves the harness, never the numbers (the summary line says so).
+
 Emits one JSON line per model and a final summary; exit code 1 if any
 model misses tolerance.
 """
@@ -80,6 +87,31 @@ def _apply_view_policy(cfg):
             cfg.TEST.OVERRIDE_MULTI_SCALE_TEST.NUM_ENSEMBLE_VIEWS)
         cfg.TEST.NUM_SPATIAL_CROPS = (
             cfg.TEST.OVERRIDE_MULTI_SCALE_TEST.NUM_SPATIAL_CROPS)
+
+
+def _preflight_strict(args, rows):
+    """Every selected row must have real data + a real checkpoint on disk.
+    Returns the list of human-readable gaps (empty = ready to accept)."""
+    missing = []
+    for config_path, family, _, _ in rows:
+        root = getattr(args, f"{family}_root")
+        anno = getattr(args, f"{family}_anno")
+        if not root:
+            missing.append(f"{config_path}: --{family}-root not given")
+        elif not os.path.isdir(root):
+            missing.append(f"{config_path}: --{family}-root {root} does not exist")
+        if not anno:
+            missing.append(f"{config_path}: --{family}-anno not given")
+        elif not os.path.isdir(anno):
+            missing.append(f"{config_path}: --{family}-anno {anno} does not exist")
+        ckpt = _find_ckpt(args, config_path)
+        if not ckpt:
+            missing.append(
+                f"{config_path}: no checkpoint named {_stem(config_path)}"
+                f"[.pyth/.pt/.pth] under --ckpt-dir and no --ckpt override")
+        elif not os.path.exists(ckpt):
+            missing.append(f"{config_path}: checkpoint {ckpt} does not exist")
+    return missing
 
 
 def run_one(args, config_path, family, acc1, acc5):
@@ -146,6 +178,11 @@ def main():
     ap.add_argument("--dry-run", action="store_true",
                     help="synthetic data + random weights; checks the "
                          "harness end to end, skips the accuracy assert")
+    ap.add_argument("--strict", action="store_true",
+                    help="acceptance mode: refuse --dry-run and exit 2 "
+                         "listing every missing dataset/checkpoint before "
+                         "evaluating — a strict pass is the only run that "
+                         "proves the Model-Zoo numbers")
     ap.add_argument("--dry-run-samples", type=int, default=4)
     ap.add_argument("--opts", nargs=argparse.REMAINDER, default=[],
                     help="trailing dotted-key overrides applied to every "
@@ -159,13 +196,29 @@ def main():
     rows = [r for r in ZOO
             if not args.configs or any(f in r[0] for f in args.configs)]
     assert rows, f"no zoo entry matches {args.configs}"
+    if args.strict:
+        if args.dry_run:
+            print(json.dumps({"summary": "model_zoo_repro", "error":
+                              "--strict forbids --dry-run: a dry run proves "
+                              "the harness, not the numbers"}), flush=True)
+            sys.exit(2)
+        missing = _preflight_strict(args, rows)
+        if missing:
+            for m in missing:
+                print(json.dumps({"missing": m}), flush=True)
+            print(json.dumps({"summary": "model_zoo_repro", "strict": True,
+                              "models": len(rows), "missing": len(missing),
+                              "error": "acceptance inputs absent — the "
+                                       "Model-Zoo numbers remain UNPROVEN"}),
+                  flush=True)
+            sys.exit(2)
     failures = 0
     for row in rows:
         if not run_one(args, *row):
             failures += 1
     print(json.dumps({"summary": "model_zoo_repro", "models": len(rows),
-                      "failures": failures,
-                      "tolerance": args.tolerance}), flush=True)
+                      "failures": failures, "tolerance": args.tolerance,
+                      "proof": not args.dry_run}), flush=True)
     sys.exit(1 if failures else 0)
 
 
