@@ -17,6 +17,8 @@ Usage:  PYTHONPATH=. python tools/microbench.py <subcommand> [names...]
            (names: dist_full stem temporal_net integration input_linear
             t2i i2t adapool)
   bwd      DiSTNetwork / stem fwd+bwd in isolation
+  bwd_parts  per-module fwd+bwd of every ladder component (is any module
+           off its bandwidth/matmul floor? names as for `dist`)
   train    train-step component breakdown: full step vs loss fwd+bwd vs
            optimizer-only (BENCH_CFG selects the config; default the
            flagship B/16 8+16f, also works for conv backbones + BENCH_OPTS)
@@ -454,6 +456,73 @@ def cmd_bwd(_names):
     _time_reps("stem_fwd_bwd", stem_bwd_reps, svars, video, outer=3)
 
 
+def cmd_bwd_parts(names):
+    """Per-module fwd+bwd decomposition of the DiST ladder at B/16 batch-8
+    geometry — the data that says whether any single ladder module is off
+    its floor (bandwidth-bound elementwise tail vs small-matmul latency).
+    Reported `ms` is one fwd+bwd of ONE layer's module; the ladder runs 12."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    from dist_tpu.models.dist.dist_net import (
+        AdaPooling, DiSTConfig, IntegrationNetwork, Integration2Temporal,
+        Temporal2Integration, TemporalNet, TemporalPatchStem)
+
+    cfg = DiSTConfig(selected_layers=tuple(range(12)), num_frames=16, alpha=2)
+    dt = jnp.bfloat16
+    B, T, L, DM = BATCH, 16, 197, 768
+    bt = B * (T // cfg.alpha)
+    rng = jax.random.PRNGKey(0)
+    x_temporal = jax.random.normal(rng, (B, T, 14, 14, cfg.temporal_dim), dt)
+    mid = jax.random.normal(rng, (bt, L, cfg.integration_dim), dt)
+    tap = jax.random.normal(rng, (bt, L, DM), dt)
+    video = jax.random.normal(rng, (B, T, 224, 224, 3), jnp.float32)
+
+    def bench_bwd(name, module, *args):
+        try:
+            variables = module.init(rng, *args)
+            gfn = jax.grad(lambda v, *a: jnp.sum(jax.tree_util.tree_reduce(
+                lambda acc, x: acc + jnp.sum(x.astype(jnp.float32)),
+                module.apply(v, *a), 0.0)))
+
+            @jax.jit
+            def reps(v, *a):
+                def body(i, acc):
+                    perturbed = (a[0] + (acc * 0).astype(a[0].dtype),) + a[1:]
+                    return acc * 0.0 + _tree_sum(gfn(v, *perturbed))
+                return jax.lax.fori_loop(0, REPS, body,
+                                         jnp.zeros((), jnp.float32))
+
+            _time_reps(name, reps, variables, *args, outer=3)
+        except Exception as e:
+            print(json.dumps({"variant": name, "error": repr(e)[-300:]}),
+                  flush=True)
+
+    want = set(names) or {"temporal_net", "integration", "input_linear",
+                          "t2i", "i2t", "adapool", "stem"}
+    if "temporal_net" in want:
+        bench_bwd("temporal_net_fwd_bwd", TemporalNet(cfg, dt), x_temporal)
+    if "integration" in want:
+        bench_bwd("integration_fwd_bwd", IntegrationNetwork(cfg, dt), mid)
+    if "input_linear" in want:
+        bench_bwd("input_linear_fwd_bwd",
+                  nn.Dense(cfg.integration_dim, dtype=dt,
+                           param_dtype=jnp.float32), tap)
+    if "t2i" in want:
+        bench_bwd("t2i_fwd_bwd", Temporal2Integration(cfg, dt), x_temporal)
+    if "i2t" in want:
+        bench_bwd("i2t_fwd_bwd", Integration2Temporal(cfg, dt), mid)
+    if "adapool" in want:
+        top_cls = jax.random.normal(rng, (B, 1, cfg.integration_dim), dt)
+        sp_cls = jax.random.normal(rng, (bt, 1, cfg.integration_dim), dt)
+        bench_bwd("adapool_fwd_bwd", AdaPooling(cfg, dt), mid, top_cls, sp_cls)
+    if "stem" in want:
+        bench_bwd("stem_fwd_bwd", TemporalPatchStem(
+            channels=cfg.temporal_dim, t_patch=cfg.t_patch_size, s_patch=16,
+            dtype=dt), video)
+
+
 # --------------------------------------------------------------- train ----
 
 def cmd_train(_names):
@@ -552,7 +621,7 @@ def cmd_train(_names):
 
 COMMANDS = {"attn": cmd_attn, "stem": cmd_stem, "conv33": cmd_conv33,
             "int8": cmd_int8, "dist": cmd_dist, "bwd": cmd_bwd,
-            "train": cmd_train}
+            "bwd_parts": cmd_bwd_parts, "train": cmd_train}
 
 
 def main():
