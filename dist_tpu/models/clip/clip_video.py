@@ -58,6 +58,7 @@ class CLIPDiSTModel(nn.Module):
 
     remat: bool = False
     ladder_unroll: int = -1  # -1 = full unroll (see DiSTNetwork.unroll)
+    fused_temporal: bool = False  # TPU.FUSED_TEMPORAL_NET (ops/temporal_net.py)
     pipe_stages: int = 1        # TPU.MESH.PIPE (parallel/pipeline.py)
     pipe_microbatches: int = 0  # TPU.PIPE_MICROBATCHES
 
@@ -73,7 +74,8 @@ class CLIPDiSTModel(nn.Module):
             self.dist_net = DiSTNetwork(
                 cfg=self.dist, d_model=self.arch.vision_width,
                 output_dim=self.arch.embed_dim, dtype=self.dtype,
-                remat=self.remat, unroll=self.ladder_unroll, name="dist_net",
+                remat=self.remat, unroll=self.ladder_unroll,
+                fused_temporal=self.fused_temporal, name="dist_net",
             )
         self.logit_scale = self.param(
             "logit_scale",
@@ -178,6 +180,7 @@ def clip_dist_from_cfg(cfg, arch: Optional[CLIPArchitecture] = None):
         ladder_unroll=int((cfg.get("TPU") or {}).get("LADDER_UNROLL", -1)
                           if cfg.get("TPU") else -1),
         pipe_stages=int(mesh_cfg.get("PIPE", 1) or 1),
+        fused_temporal=bool(tpu.get("FUSED_TEMPORAL_NET", False)),
         pipe_microbatches=int(tpu.get("PIPE_MICROBATCHES", 0) or 0),
         arch=arch,
         dist=dist,

@@ -168,18 +168,60 @@ class TemporalConv(nn.Module):
         return out + bias.astype(self.dtype)
 
 
+class _LNParams(nn.Module):
+    """Param-only twin of LayerNorm (same names/shapes/inits) for the
+    fused-kernel path: creates an IDENTICAL param subtree without running
+    the unfused compute."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,),
+                           jnp.float32),
+                self.param("bias", nn.initializers.zeros, (self.dim,),
+                           jnp.float32))
+
+
+class _ConvParams(nn.Module):
+    """Param-only twin of nn.Conv / TemporalConv (kernel + bias)."""
+
+    kshape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", nn.initializers.lecun_normal(),
+                           self.kshape, jnp.float32),
+                self.param("bias", nn.initializers.zeros,
+                           (self.kshape[-1],), jnp.float32))
+
+
 class TemporalNet(nn.Module):
     """Residual temporal conv block (dist.py:48-65):
-    qgelu(x + conv(1,3,3)(qgelu(conv(k,1,1)(LN(x)))))  on (B,T,H,W,C)."""
+    qgelu(x + conv(1,3,3)(qgelu(conv(k,1,1)(LN(x)))))  on (B,T,H,W,C).
+
+    With ``fused=True`` the whole chain runs as one VMEM-resident Pallas
+    program per batch row (ops/temporal_net.py), fwd and bwd; the param
+    tree is bit-identical to the unfused path, so the flag can be toggled
+    on any checkpoint. The fused kernel computes in fp32 internally."""
 
     cfg: DiSTConfig
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
         c = self.cfg.temporal_dim
         k = self.cfg.temporal_kernel_size
         hidden = int(c * self.cfg.temporal_conv_mlp_ratio)
+        if self.fused:
+            from dist_tpu.ops.temporal_net import fused_temporal_net
+
+            lns, lnb = _LNParams(x.shape[-1], name="ln")()
+            w1, b1 = _ConvParams((k, 1, 1, x.shape[-1], hidden),
+                                 name="c_fc1")()
+            w2, b2 = _ConvParams((1, 3, 3, hidden, c), name="c_fc2")()
+            return fused_temporal_net(x, lns, lnb, w1, b1, w2, b2)
         h = LayerNorm(name="ln")(x)
         h = TemporalConv(hidden, k, dtype=self.dtype, name="c_fc1")(h)
         h = quick_gelu(h)
@@ -303,11 +345,14 @@ class _LadderStep(nn.Module):
     cfg: DiSTConfig
     d_model: int
     dtype: jnp.dtype = jnp.float32
+    fused_temporal: bool = False
 
     @nn.compact
     def __call__(self, carry, tap_mid):
         x_temporal, res_feat, _ = carry
-        x_temporal = TemporalNet(self.cfg, self.dtype, name="temporal_net")(x_temporal)
+        x_temporal = TemporalNet(self.cfg, self.dtype,
+                                 fused=self.fused_temporal,
+                                 name="temporal_net")(x_temporal)
         mid = tap_mid + res_feat
         upd_temporal = Integration2Temporal(
             self.cfg, self.dtype, name="integration2temporal")(mid) + x_temporal
@@ -373,6 +418,9 @@ class DiSTNetwork(nn.Module):
     # pessimizes (unroll=4 measured 42 ms); only 1 (rolled) or full make
     # sense, so any other value is clamped to full.
     unroll: int = -1
+    # run each TemporalNet block as one fused VMEM-resident Pallas program
+    # (fwd + bwd; ops/temporal_net.py). Param-tree identical to unfused.
+    fused_temporal: bool = False
 
     @nn.compact
     def __call__(self, video, taps_selected):
@@ -405,7 +453,8 @@ class DiSTNetwork(nn.Module):
             (bt, taps_selected.shape[2], c), dtype=self.dtype
         )
         (x_temporal, res_feat, upd_mid), _ = Ladder(
-            self.cfg, self.d_model, self.dtype, name="ladder"
+            self.cfg, self.d_model, self.dtype,
+            fused_temporal=self.fused_temporal, name="ladder"
         )((x_temporal, jnp.zeros_like(zeros_mid), zeros_mid), taps_mid)
 
         current_feat = res_feat + upd_mid

@@ -422,7 +422,12 @@ def cmd_bwd(_names):
     variants = [("dist_fwd_bwd_rolled", {"unroll": 1}),
                 ("dist_fwd_bwd_remat_rolled", {"remat": True, "unroll": 1}),
                 ("dist_fwd_bwd_unrolled", {}),  # default: full unroll
-                ("dist_fwd_bwd_remat_unrolled", {"remat": True})]
+                ("dist_fwd_bwd_remat_unrolled", {"remat": True}),
+                # fused VMEM-resident TemporalNet Pallas kernel, fwd+bwd
+                # (TPU.FUSED_TEMPORAL_NET; ops/temporal_net.py)
+                ("dist_fwd_bwd_unrolled_fused", {"fused_temporal": True}),
+                ("dist_fwd_bwd_remat_fused", {"remat": True,
+                                              "fused_temporal": True})]
     dvars = None
     for name, kw in variants:
         dist = DiSTNetwork(cfg=cfg, d_model=768, output_dim=512, dtype=dt,
@@ -440,6 +445,25 @@ def cmd_bwd(_names):
             return jax.lax.fori_loop(0, REPS, body, jnp.zeros((), jnp.float32))
 
         _time_reps(name, dist_bwd_reps, dvars, video, taps, outer=3)
+
+    # numerical parity of the fused-TemporalNet ladder against the unfused
+    # one on THIS backend (same params; Mosaic lowering, not interpret)
+    try:
+        base = DiSTNetwork(cfg=cfg, d_model=768, output_dim=512, dtype=dt)
+        fused = DiSTNetwork(cfg=cfg, d_model=768, output_dim=512, dtype=dt,
+                            fused_temporal=True)
+        o1 = jax.jit(lambda v: base.apply(v, video, taps))(dvars)
+        o2 = jax.jit(lambda v: fused.apply(v, video, taps))(dvars)
+        import numpy as np
+        diff = float(np.max(np.abs(np.asarray(o1, np.float32)
+                                   - np.asarray(o2, np.float32))))
+        scale = float(np.max(np.abs(np.asarray(o1, np.float32))))
+        print(json.dumps({"variant": "fused_vs_unfused_parity",
+                          "max_abs_diff": diff, "out_max": scale}),
+              flush=True)
+    except Exception as e:
+        print(json.dumps({"variant": "fused_vs_unfused_parity",
+                          "error": repr(e)[-300:]}), flush=True)
 
     stem = TemporalPatchStem(channels=96, t_patch=5, s_patch=16, dtype=dt)
     svars = stem.init(rng, video)
