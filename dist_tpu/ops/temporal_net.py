@@ -46,14 +46,15 @@ def _qgelu_grad(x):
 
 
 def _pack_w1(w1_raw):
-    """(k,1,1,C,F) raw flax kernel -> (C, k*F) tap-major columns."""
+    """(k,1,1,C,F) raw flax kernel -> (k*C, F) tap-major ROWS (slicing the
+    sublane dim inside the kernel; lane-dim slices at non-128 offsets are
+    Mosaic-hostile)."""
     k, _, _, c, f = w1_raw.shape
-    return jnp.transpose(w1_raw.reshape(k, c, f), (1, 0, 2)).reshape(c, k * f)
+    return w1_raw.reshape(k * c, f)
 
 
 def _unpack_dw1(dw1_packed, k, c, f):
-    return jnp.transpose(dw1_packed.reshape(c, k, f), (1, 0, 2)) \
-        .reshape(k, 1, 1, c, f)
+    return dw1_packed.reshape(k, 1, 1, c, f)
 
 
 def _pack_w2(w2_raw):
@@ -124,7 +125,7 @@ def _chain_fwd(xf, ln_s, ln_b, w1p, b1, w2p, b2, *, k, f):
     hb = jnp.zeros((t, h * w, f), jnp.float32)
     for d in range(k):
         hb = hb + _mm(_shift_t(xl3, d - pad).reshape(t * h * w, c),
-                      w1p[:, d * f:(d + 1) * f]).reshape(t, h * w, f)
+                      w1p[d * c:(d + 1) * c]).reshape(t, h * w, f)
     hb = hb + b1
     g = _qgelu(hb)
     s4 = g.reshape(t, h, w, f)
@@ -186,10 +187,10 @@ def _bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     xl3 = xl.reshape(t, h * w, c)
     dxl = jnp.zeros((t, h * w, c), jnp.float32)
     for d in range(k):
-        w1_d = w1p[:, d * f:(d + 1) * f]                 # (C, F)
+        w1_d = w1p[d * c:(d + 1) * c]                    # (C, F)
         dxl = dxl + _mm_nt(_shift_t(dhb, pad - d).reshape(t * h * w, f),
                            w1_d).reshape(t, h * w, c)
-        dw1_ref[0, :, d * f:(d + 1) * f] = _mm_tn(
+        dw1_ref[0, d * c:(d + 1) * c] = _mm_tn(
             _shift_t(xl3, d - pad).reshape(t * h * w, c),
             dhb.reshape(t * h * w, f))
 
@@ -277,7 +278,7 @@ def _pallas_bwd(x, g, ln_s, ln_b, w1_raw, b1, w2_raw, b2, interpret=False):
         jax.ShapeDtypeStruct((b, t, h, w, c), x.dtype),   # dx
         jax.ShapeDtypeStruct((b, c), f32),                # dln_scale partial
         jax.ShapeDtypeStruct((b, c), f32),                # dln_bias partial
-        jax.ShapeDtypeStruct((b, c, k * f), f32),         # dw1p partial
+        jax.ShapeDtypeStruct((b, k * c, f), f32),         # dw1p partial
         jax.ShapeDtypeStruct((b, f), f32),                # db1 partial
         jax.ShapeDtypeStruct((b, 9 * f, c), f32),         # dw2p partial
         jax.ShapeDtypeStruct((b, c), f32),                # db2 partial
