@@ -6,19 +6,24 @@ dist.py:48-65 — is a chain of five bandwidth-bound ops over a small
 (T*H*W, 96) volume. XLA materializes intermediates in HBM between them;
 per batch row the whole working set is a few MB, so both the forward and
 the backward fit entirely in VMEM. These kernels run the full chain (and
-its full gradient) as ONE program per batch row:
+its full gradient, with forward recomputation in VMEM) as ONE program
+per batch row.
 
-  fwd:  LN (VPU, fp32) -> k temporally-shifted matmuls (MXU)
-        -> quick-gelu -> 9 spatially-shifted matmuls (MXU) -> residual gelu
-  bwd:  recompute the forward pieces in VMEM (nothing saved to HBM except
-        x itself), then walk the chain backwards; weight grads come out
-        as per-program partials summed by XLA afterwards.
+Kernel geometry: everything lives as ONE 2-D (T*H*W, C) buffer per
+program — Mosaic's best-supported shape class (no in-kernel reshapes, no
+rank>2 vector ops; the first rank-5 formulation crashed the remote
+Mosaic compiler outright). Every conv tap becomes "sublane-shift the
+buffer, mask the rows that wrapped across a frame/image-row boundary,
+one dense (T*H*W, C)x(C, F) matmul":
 
-Both convs use the shifted-matmul formulation (the repo's measured
-workaround for XLA's ~5x slow path on overlapping temporal conv windows —
-see TemporalConv in models/dist/dist_net.py), which is exactly what a
-VMEM-resident kernel wants anyway: k (resp. 9) dense (T*H*W, C)x(C, F)
-matmuls over shifted views of one resident buffer.
+  temporal tap d:  shift by (d-pad)*H*W rows  (whole frames; no mask)
+  spatial tap dy:  shift by (dy-1)*W rows     + first/last-image-row mask
+  spatial tap dx:  shift by (dx-1) rows       + first/last-column mask
+
+The boundary masks are precomputed (T*H*W, 1) constants; this is the
+shifted-matmul conv formulation the repo already uses against XLA's ~5x
+overlapping-window slow path (see TemporalConv), taken to its VMEM-
+resident conclusion.
 
 Used by TemporalNet when DiSTNetwork is built with fused_temporal=True
 (cfg key TPU.FUSED_TEMPORAL_NET); jnp reference elsewhere. Param layouts
@@ -46,8 +51,8 @@ def _qgelu_grad(x):
 
 
 def _pack_w1(w1_raw):
-    """(k,1,1,C,F) raw flax kernel -> (k*C, F) tap-major ROWS (slicing the
-    sublane dim inside the kernel; lane-dim slices at non-128 offsets are
+    """(k,1,1,C,F) raw flax kernel -> (k*C, F) tap-major rows (per-tap
+    slices cut the SUBLANE dim; lane-dim slices at non-128 offsets are
     Mosaic-hostile)."""
     k, _, _, c, f = w1_raw.shape
     return w1_raw.reshape(k * c, f)
@@ -63,29 +68,44 @@ def _pack_w2(w2_raw):
     return w2_raw.reshape(kh * kw * f, c)
 
 
-def _shift_t(x, s):
-    """x (T, HW, C) -> y with y[t] = x[t+s] (zeros outside). Static s."""
-    t = x.shape[0]
+def _masks(t, h, w):
+    """Boundary masks for flat sublane shifts of a (T*H*W, C) buffer,
+    shape (T*H*W, 1) fp32: rows_first zeroes each frame's FIRST image row
+    (for one row-shift direction), rows_last its LAST; cols_* likewise
+    for the first/last column of each image row."""
+    import numpy as np
+    hw = np.arange(t * h * w) % (h * w)
+    rows, cols = hw // w, hw % w
+
+    def m(keep):
+        return jnp.asarray(keep.astype(np.float32)[:, None])
+
+    return (m(rows != 0), m(rows != h - 1), m(cols != 0), m(cols != w - 1))
+
+
+def _shift_rows(x, s):
+    """x (N, C) -> y with y[p] = x[p+s], zeros outside. Static s."""
+    n = x.shape[0]
     if s == 0:
         return x
-    z = jnp.zeros((abs(s),) + x.shape[1:], x.dtype)
+    z = jnp.zeros((abs(s), x.shape[1]), x.dtype)
     if s > 0:
         return jnp.concatenate([x[s:], z], axis=0)
-    return jnp.concatenate([z, x[:t + s]], axis=0)
+    return jnp.concatenate([z, x[:n + s]], axis=0)
 
 
-def _shift_hw(x, sh, sw):
-    """x (T, H, W, C) -> y[t,h,w] = x[t, h+sh, w+sw] (zeros outside)."""
-    t, h, w, c = x.shape
-    if sh:
-        z = jnp.zeros((t, abs(sh), w, c), x.dtype)
-        x = (jnp.concatenate([x[:, sh:], z], 1) if sh > 0
-             else jnp.concatenate([z, x[:, :h + sh]], 1))
-    if sw:
-        z = jnp.zeros((t, h, abs(sw), c), x.dtype)
-        x = (jnp.concatenate([x[:, :, sw:], z], 2) if sw > 0
-             else jnp.concatenate([z, x[:, :, :w + sw]], 2))
-    return x
+def _shift_spatial(x, dy, dx, w, mrf, mrl, mcf, mcl):
+    """Spatial (dy-1, dx-1)-tap view of the flat (T*H*W, C) buffer:
+    row-shift with frame-boundary mask, then column-shift with
+    row-boundary mask."""
+    y = x
+    if dy != 1:
+        y = _shift_rows(y, (dy - 1) * w)
+        y = y * (mrl if dy == 2 else mrf)
+    if dx != 1:
+        y = _shift_rows(y, dx - 1)
+        y = y * (mcl if dx == 2 else mcf)
+    return y
 
 
 def _mm(a, b):
@@ -115,90 +135,91 @@ def _ln_fwd(xf, scale, bias):
     return z * scale + bias, z, rstd
 
 
-def _chain_fwd(xf, ln_s, ln_b, w1p, b1, w2p, b2, *, k, f):
-    """Shared fwd math on one (T,H,W,C) fp32 block; returns what the
+def _chain_fwd(xf, ln_s, ln_b, w1p, b1, w2p, b2, masks, *, k, f, hw, w):
+    """Forward on one flat (T*H*W, C) fp32 buffer; returns what the
     backward needs."""
-    t, h, w, c = xf.shape
+    n, c = xf.shape
     pad = k // 2
+    mrf, mrl, mcf, mcl = masks
     xl, z, rstd = _ln_fwd(xf, ln_s, ln_b)
-    xl3 = xl.reshape(t, h * w, c)
-    hb = jnp.zeros((t, h * w, f), jnp.float32)
+    hb = jnp.zeros((n, f), jnp.float32)
     for d in range(k):
-        hb = hb + _mm(_shift_t(xl3, d - pad).reshape(t * h * w, c),
-                      w1p[d * c:(d + 1) * c]).reshape(t, h * w, f)
+        hb = hb + _mm(_shift_rows(xl, (d - pad) * hw),
+                      w1p[d * c:(d + 1) * c])
     hb = hb + b1
     g = _qgelu(hb)
-    s4 = g.reshape(t, h, w, f)
-    acc = jnp.zeros((t, h, w, c), jnp.float32)
+    acc = jnp.zeros((n, c), jnp.float32)
     for dy in range(3):
         for dx in range(3):
             tap = 3 * dy + dx
-            acc = acc + _mm(
-                _shift_hw(s4, dy - 1, dx - 1).reshape(t * h * w, f),
-                w2p[tap * f:(tap + 1) * f]).reshape(t, h, w, c)
+            acc = acc + _mm(_shift_spatial(g, dy, dx, w, mrf, mrl, mcf, mcl),
+                            w2p[tap * f:(tap + 1) * f])
     r = xf + acc + b2
-    return r, s4, hb, xl, z, rstd
+    return r, g, hb, xl, z, rstd
 
 
 def _fwd_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                o_ref, *, k, f):
+                mrf_ref, mrl_ref, mcf_ref, mcl_ref, o_ref, *, k, f, hw, w):
     xf = x_ref[0].astype(jnp.float32)
+    masks = (mrf_ref[...], mrl_ref[...], mcf_ref[...], mcl_ref[...])
     r, _, _, _, _, _ = _chain_fwd(
         xf, lns_ref[0], lnb_ref[0], w1_ref[...], b1_ref[0], w2_ref[...],
-        b2_ref[0], k=k, f=f)
+        b2_ref[0], masks, k=k, f=f, hw=hw, w=w)
     o_ref[0] = _qgelu(r).astype(o_ref.dtype)
 
 
 def _bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
-                b2_ref, dx_ref, dlns_ref, dlnb_ref, dw1_ref, db1_ref,
-                dw2_ref, db2_ref, *, k, f):
-    t, h, w, c = x_ref.shape[1:]
+                b2_ref, mrf_ref, mrl_ref, mcf_ref, mcl_ref,
+                dx_ref, dlns_ref, dlnb_ref, dw1_ref, db1_ref, dw2_ref,
+                db2_ref, *, k, f, hw, w):
+    n, c = x_ref.shape[1:]
     pad = k // 2
     xf = x_ref[0].astype(jnp.float32)
     dout = g_ref[0].astype(jnp.float32)
     lns = lns_ref[0]
     w1p, w2p = w1_ref[...], w2_ref[...]
+    masks = (mrf_ref[...], mrl_ref[...], mcf_ref[...], mcl_ref[...])
+    mrf, mrl, mcf, mcl = masks
 
     # recompute the forward entirely in VMEM
-    r, s4, hb, xl, z, rstd = _chain_fwd(
-        xf, lns, lnb_ref[0], w1p, b1_ref[0], w2p, b2_ref[0], k=k, f=f)
+    r, g, hb, xl, z, rstd = _chain_fwd(
+        xf, lns, lnb_ref[0], w1p, b1_ref[0], w2p, b2_ref[0], masks,
+        k=k, f=f, hw=hw, w=w)
 
     dr = _qgelu_grad(r) * dout             # grad at (residual + conv acc)
-    db2_ref[0] = jnp.sum(dr, axis=(0, 1, 2))
-    dr_flat = dr.reshape(t * h * w, c)
-
-    # spatial conv backward: dg and per-tap weight grads
-    dg = jnp.zeros((t, h, w, f), jnp.float32)
+    db2_ref[0, 0] = jnp.sum(dr, axis=0)
+    # spatial conv backward. fwd: acc += S(g) @ W_tap with S = mask∘shift;
+    # S^T = shift^T ∘ mask where shift^T is the OPPOSITE shift, applied
+    # in reverse op order (col then row).
+    dg = jnp.zeros((n, f), jnp.float32)
     for dy in range(3):
         for dx in range(3):
             tap = 3 * dy + dx
             w2_tap = w2p[tap * f:(tap + 1) * f]          # (F, C)
-            dg = dg + _mm_nt(
-                _shift_hw(dr, 1 - dy, 1 - dx).reshape(t * h * w, c),
-                w2_tap).reshape(t, h, w, f)
+            e = _mm_nt(dr, w2_tap)                       # (N, F)
+            if dx != 1:
+                e = _shift_rows(e * (mcl if dx == 2 else mcf), 1 - dx)
+            if dy != 1:
+                e = _shift_rows(e * (mrl if dy == 2 else mrf), (1 - dy) * w)
+            dg = dg + e
             dw2_ref[0, tap * f:(tap + 1) * f] = _mm_tn(
-                _shift_hw(s4, dy - 1, dx - 1).reshape(t * h * w, f),
-                dr_flat)
+                _shift_spatial(g, dy, dx, w, mrf, mrl, mcf, mcl), dr)
 
-    dhb = _qgelu_grad(hb) * dg.reshape(t, h * w, f)      # (T,HW,F)
-    db1_ref[0] = jnp.sum(dhb, axis=(0, 1))
+    dhb = _qgelu_grad(hb) * dg
+    db1_ref[0, 0] = jnp.sum(dhb, axis=0)
 
-    # temporal conv backward
-    xl3 = xl.reshape(t, h * w, c)
-    dxl = jnp.zeros((t, h * w, c), jnp.float32)
+    # temporal conv backward (whole-frame shifts; no masks needed)
+    dxl = jnp.zeros((n, c), jnp.float32)
     for d in range(k):
         w1_d = w1p[d * c:(d + 1) * c]                    # (C, F)
-        dxl = dxl + _mm_nt(_shift_t(dhb, pad - d).reshape(t * h * w, f),
-                           w1_d).reshape(t, h * w, c)
+        dxl = dxl + _shift_rows(_mm_nt(dhb, w1_d), (pad - d) * hw)
         dw1_ref[0, d * c:(d + 1) * c] = _mm_tn(
-            _shift_t(xl3, d - pad).reshape(t * h * w, c),
-            dhb.reshape(t * h * w, f))
+            _shift_rows(xl, (d - pad) * hw), dhb)
 
     # LayerNorm backward
-    dxl4 = dxl.reshape(t, h, w, c)
-    dlns_ref[0] = jnp.sum(dxl4 * z, axis=(0, 1, 2))
-    dlnb_ref[0] = jnp.sum(dxl4, axis=(0, 1, 2))
-    dz = dxl4 * lns
+    dlns_ref[0, 0] = jnp.sum(dxl * z, axis=0)
+    dlnb_ref[0, 0] = jnp.sum(dxl, axis=0)
+    dz = dxl * lns
     mean_dz = jnp.mean(dz, axis=-1, keepdims=True)
     mean_dzz = jnp.mean(dz * z, axis=-1, keepdims=True)
     dx_ln = rstd * (dz - mean_dz - z * mean_dzz)
@@ -206,23 +227,30 @@ def _bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     dx_ref[0] = (dr + dx_ln).astype(dx_ref.dtype)
 
 
+def _flatten_thw(x):
+    """(B,T,H,W,C) -> flat (B, T*H*W, C) + (t, h, w)."""
+    b, t, h, w, c = x.shape
+    return x.reshape(b, t * h * w, c), (t, h, w)
+
+
 def _reference(x, ln_s, ln_b, w1_raw, b1, w2_raw, b2):
-    """jnp reference of the whole block (CPU fallback and VJP check)."""
-    k = w1_raw.shape[0]
-    f = w1_raw.shape[-1]
-    w1p, w2p = _pack_w1(w1_raw), _pack_w2(w2_raw)
+    """jnp reference of the whole block (CPU fallback and VJP source)."""
+    k, f = w1_raw.shape[0], w1_raw.shape[-1]
+    x2, (t, h, w) = _flatten_thw(x)
+    w1p = _pack_w1(w1_raw).astype(jnp.float32)
+    w2p = _pack_w2(w2_raw).astype(jnp.float32)
+    masks = _masks(t, h, w)
     lns = ln_s.astype(jnp.float32)
     lnb = ln_b.astype(jnp.float32)
     b1f = b1.astype(jnp.float32)
     b2f = b2.astype(jnp.float32)
 
     def one(xb):
-        r, *_ = _chain_fwd(xb.astype(jnp.float32), lns, lnb,
-                           w1p.astype(jnp.float32), b1f,
-                           w2p.astype(jnp.float32), b2f, k=k, f=f)
+        r, *_ = _chain_fwd(xb.astype(jnp.float32), lns, lnb, w1p, b1f,
+                           w2p, b2f, masks, k=k, f=f, hw=h * w, w=w)
         return _qgelu(r).astype(x.dtype)
 
-    return jax.vmap(one)(x)
+    return jax.vmap(one)(x2).reshape(x.shape)
 
 
 def _const_spec(arr):
@@ -238,67 +266,75 @@ def _row_spec(shape):
                         memory_space=pltpu.VMEM)
 
 
+def _prep(ln_s, ln_b, w1_raw, b1, w2_raw, b2, t, h, w):
+    f32 = jnp.float32
+    vec = lambda v: v.reshape(1, -1).astype(f32)
+    return ((vec(ln_s), vec(ln_b), _pack_w1(w1_raw).astype(f32), vec(b1),
+             _pack_w2(w2_raw).astype(f32), vec(b2)) + _masks(t, h, w))
+
+
 def _pallas_fwd(x, ln_s, ln_b, w1_raw, b1, w2_raw, b2, interpret=False):
-    b, t, h, w, c = x.shape
+    b, _, _, _, c = x.shape
     k, f = w1_raw.shape[0], w1_raw.shape[-1]
-    w1p = _pack_w1(w1_raw).astype(jnp.float32)
-    w2p = _pack_w2(w2_raw).astype(jnp.float32)
-    vecs = [v.reshape(1, -1).astype(jnp.float32) for v in (ln_s, ln_b)]
-    b1v = b1.reshape(1, -1).astype(jnp.float32)
-    b2v = b2.reshape(1, -1).astype(jnp.float32)
-    kern = functools.partial(_fwd_kernel, k=k, f=f)
-    args = (x, vecs[0], vecs[1], w1p, b1v, w2p, b2v)
-    return pl.pallas_call(
+    x2, (t, h, w) = _flatten_thw(x)
+    consts = _prep(ln_s, ln_b, w1_raw, b1, w2_raw, b2, t, h, w)
+    kern = functools.partial(_fwd_kernel, k=k, f=f, hw=h * w, w=w)
+    out = pl.pallas_call(
         kern,
         interpret=interpret,
         grid=(b,),
-        in_specs=[_row_spec(x.shape)] + [_const_spec(a) for a in args[1:]],
-        out_specs=_row_spec(x.shape),
-        out_shape=jax.ShapeDtypeStruct((b, t, h, w, c), x.dtype),
+        in_specs=[_row_spec(x2.shape)] + [_const_spec(a) for a in consts],
+        out_specs=_row_spec(x2.shape),
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        # the default 16 MB scoped-vmem budget is what we're here to spend:
+        # the whole per-row working set is VMEM-resident by design
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * t * h * w * c * f * (k + 9),
             transcendentals=2 * b * t * h * w * max(c, f),
-            bytes_accessed=2 * b * t * h * w * c * x.dtype.itemsize),
-    )(*args)
+            bytes_accessed=2 * x2.size * x.dtype.itemsize),
+    )(x2, *consts)
+    return out.reshape(x.shape)
 
 
 def _pallas_bwd(x, g, ln_s, ln_b, w1_raw, b1, w2_raw, b2, interpret=False):
-    b, t, h, w, c = x.shape
+    b, _, _, _, c = x.shape
     k, f = w1_raw.shape[0], w1_raw.shape[-1]
     f32 = jnp.float32
-    w1p = _pack_w1(w1_raw).astype(f32)
-    w2p = _pack_w2(w2_raw).astype(f32)
-    lnsv = ln_s.reshape(1, -1).astype(f32)
-    lnbv = ln_b.reshape(1, -1).astype(f32)
-    b1v = b1.reshape(1, -1).astype(f32)
-    b2v = b2.reshape(1, -1).astype(f32)
-    kern = functools.partial(_bwd_kernel, k=k, f=f)
-    args = (x, g, lnsv, lnbv, w1p, b1v, w2p, b2v)
+    x2, (t, h, w) = _flatten_thw(x)
+    g2, _ = _flatten_thw(g)
+    consts = _prep(ln_s, ln_b, w1_raw, b1, w2_raw, b2, t, h, w)
+    kern = functools.partial(_bwd_kernel, k=k, f=f, hw=h * w, w=w)
+    # vector grads carry a singleton SUBLANE axis: a rank-2 (B, C) output
+    # would need a (1, C) block whose sublane dim (1 of 8) breaks TPU
+    # tiling; (B, 1, C) keeps the minor-most two block dims == array dims
     out_shapes = [
-        jax.ShapeDtypeStruct((b, t, h, w, c), x.dtype),   # dx
-        jax.ShapeDtypeStruct((b, c), f32),                # dln_scale partial
-        jax.ShapeDtypeStruct((b, c), f32),                # dln_bias partial
+        jax.ShapeDtypeStruct(x2.shape, x.dtype),          # dx
+        jax.ShapeDtypeStruct((b, 1, c), f32),             # dln_scale partial
+        jax.ShapeDtypeStruct((b, 1, c), f32),             # dln_bias partial
         jax.ShapeDtypeStruct((b, k * c, f), f32),         # dw1p partial
-        jax.ShapeDtypeStruct((b, f), f32),                # db1 partial
+        jax.ShapeDtypeStruct((b, 1, f), f32),             # db1 partial
         jax.ShapeDtypeStruct((b, 9 * f, c), f32),         # dw2p partial
-        jax.ShapeDtypeStruct((b, c), f32),                # db2 partial
+        jax.ShapeDtypeStruct((b, 1, c), f32),             # db2 partial
     ]
     outs = pl.pallas_call(
         kern,
         interpret=interpret,
         grid=(b,),
-        in_specs=[_row_spec(x.shape), _row_spec(x.shape)] +
-                 [_const_spec(a) for a in args[2:]],
+        in_specs=[_row_spec(x2.shape), _row_spec(x2.shape)] +
+                 [_const_spec(a) for a in consts],
         out_specs=[_row_spec(s.shape) for s in out_shapes],
         out_shape=out_shapes,
-    )(*args)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+    )(x2, g2, *consts)
     dx, dlns, dlnb, dw1p, db1, dw2p, db2 = outs
     dw1 = _unpack_dw1(jnp.sum(dw1p, 0), k, c, f)
     dw2 = jnp.sum(dw2p, 0).reshape(1, 3, 3, f, c)
-    return (dx, jnp.sum(dlns, 0).astype(ln_s.dtype),
-            jnp.sum(dlnb, 0).astype(ln_b.dtype), dw1.astype(w1_raw.dtype),
-            jnp.sum(db1, 0).astype(b1.dtype), dw2.astype(w2_raw.dtype),
-            jnp.sum(db2, 0).astype(b2.dtype))
+    vsum = lambda a: jnp.sum(a, axis=(0, 1))
+    return (dx.reshape(x.shape), vsum(dlns).astype(ln_s.dtype),
+            vsum(dlnb).astype(ln_b.dtype), dw1.astype(w1_raw.dtype),
+            vsum(db1).astype(b1.dtype), dw2.astype(w2_raw.dtype),
+            vsum(db2).astype(b2.dtype))
 
 
 def _use_pallas():

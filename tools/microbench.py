@@ -380,6 +380,10 @@ def cmd_dist(names):
     if "dist_full" in want:
         bench("dist_full", DiSTNetwork(cfg=cfg, d_model=DM, output_dim=512,
                                        dtype=dt), (video, taps))
+    if "dist_full_fused" in want or (not names and True):
+        bench("dist_full_fused",
+              DiSTNetwork(cfg=cfg, d_model=DM, output_dim=512, dtype=dt,
+                          fused_temporal=True), (video, taps))
     if "stem" in want:
         bench("stem", TemporalPatchStem(channels=cfg.temporal_dim,
                                         t_patch=cfg.t_patch_size, s_patch=16,
@@ -452,8 +456,10 @@ def cmd_bwd(_names):
         base = DiSTNetwork(cfg=cfg, d_model=768, output_dim=512, dtype=dt)
         fused = DiSTNetwork(cfg=cfg, d_model=768, output_dim=512, dtype=dt,
                             fused_temporal=True)
-        o1 = jax.jit(lambda v: base.apply(v, video, taps))(dvars)
-        o2 = jax.jit(lambda v: fused.apply(v, video, taps))(dvars)
+        # pass the big arrays as ARGS — closed-over they become HLO
+        # constants and the remote compile rejects the payload (HTTP 413)
+        o1 = jax.jit(base.apply)(dvars, video, taps)
+        o2 = jax.jit(fused.apply)(dvars, video, taps)
         import numpy as np
         diff = float(np.max(np.abs(np.asarray(o1, np.float32)
                                    - np.asarray(o2, np.float32))))
