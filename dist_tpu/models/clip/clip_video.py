@@ -174,6 +174,19 @@ def clip_dist_from_cfg(cfg, arch: Optional[CLIPArchitecture] = None):
     zeroshot = bool(cfg.TEST.get("ZEROSHOT") and cfg.TEST.ZEROSHOT.ENABLE)
     tpu = cfg.get("TPU") or {}
     mesh_cfg = tpu.get("MESH") or {}
+    if bool(tpu.get("FUSED_TEMPORAL_NET", False)):
+        # the fused Pallas kernel carries no GSPMD partitioning rule: under
+        # a multi-device mesh the custom call would fail to partition or
+        # silently replicate the batch-sharded operand per chip. (On
+        # non-TPU backends the op falls back to shardable jnp code, so
+        # CPU-mesh tests/dryruns are unaffected.)
+        import jax
+        assert (jax.default_backend() not in ("tpu", "axon")
+                or jax.device_count() == 1), (
+            "TPU.FUSED_TEMPORAL_NET is single-chip only (the Pallas kernel "
+            "has no sharding rule); disable it for multi-chip meshes — the "
+            "unfused ladder is the faster formulation anyway "
+            "(assets/fused_temporal_net_v5e.json)")
     return CLIPDiSTModel(
         prediction_fusion=zeroshot,
         remat=bool(cfg.get("TPU") and cfg.TPU.get("REMAT", False)),

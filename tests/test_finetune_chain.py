@@ -18,7 +18,6 @@ pytestmark = pytest.mark.slow  # two full tiny train runs + S3DG compiles
 import os
 
 import numpy as np
-import pytest
 
 import jax
 

@@ -14,9 +14,11 @@ Usage:  PYTHONPATH=. python tools/microbench.py <subcommand> [names...]
   conv33   TemporalNet (1,3,3) conv vs shift-add matmul dual, fwd+bwd
   int8     int8 vs bf16 GEMM at the tower's four GEMM shapes
   dist     DiST side-network sub-component forward timing
-           (names: dist_full stem temporal_net integration input_linear
-            t2i i2t adapool)
-  bwd      DiSTNetwork / stem fwd+bwd in isolation
+           (names: dist_full dist_full_fused stem temporal_net integration
+            input_linear t2i i2t adapool)
+  bwd      DiSTNetwork / stem fwd+bwd in isolation (names filter the
+           variants; the fused-vs-unfused parity probe — two extra ladder
+           compiles — runs only with no names or the name `parity`)
   bwd_parts  per-module fwd+bwd of every ladder component (is any module
            off its bandwidth/matmul floor? names as for `dist`)
   train    train-step component breakdown: full step vs loss fwd+bwd vs
@@ -375,12 +377,13 @@ def cmd_dist(names):
             print(json.dumps({"variant": name, "error": repr(e)[:200]}),
                   flush=True)
 
-    want = set(names) or {"dist_full", "stem", "temporal_net", "integration",
+    want = set(names) or {"dist_full", "dist_full_fused", "stem",
+                          "temporal_net", "integration",
                           "input_linear", "t2i", "i2t", "adapool"}
     if "dist_full" in want:
         bench("dist_full", DiSTNetwork(cfg=cfg, d_model=DM, output_dim=512,
                                        dtype=dt), (video, taps))
-    if "dist_full_fused" in want or (not names and True):
+    if "dist_full_fused" in want:
         bench("dist_full_fused",
               DiSTNetwork(cfg=cfg, d_model=DM, output_dim=512, dtype=dt,
                           fused_temporal=True), (video, taps))
@@ -407,7 +410,7 @@ def cmd_dist(names):
 
 # ----------------------------------------------------------------- bwd ----
 
-def cmd_bwd(_names):
+def cmd_bwd(names):
     import jax
     import jax.numpy as jnp
 
@@ -432,8 +435,11 @@ def cmd_bwd(_names):
                 ("dist_fwd_bwd_unrolled_fused", {"fused_temporal": True}),
                 ("dist_fwd_bwd_remat_fused", {"remat": True,
                                               "fused_temporal": True})]
+    want = set(names)
     dvars = None
     for name, kw in variants:
+        if want and name not in want:
+            continue
         dist = DiSTNetwork(cfg=cfg, d_model=768, output_dim=512, dtype=dt,
                            **kw)
         if dvars is None:
@@ -451,39 +457,47 @@ def cmd_bwd(_names):
         _time_reps(name, dist_bwd_reps, dvars, video, taps, outer=3)
 
     # numerical parity of the fused-TemporalNet ladder against the unfused
-    # one on THIS backend (same params; Mosaic lowering, not interpret)
-    try:
-        base = DiSTNetwork(cfg=cfg, d_model=768, output_dim=512, dtype=dt)
-        fused = DiSTNetwork(cfg=cfg, d_model=768, output_dim=512, dtype=dt,
-                            fused_temporal=True)
-        # pass the big arrays as ARGS — closed-over they become HLO
-        # constants and the remote compile rejects the payload (HTTP 413)
-        o1 = jax.jit(base.apply)(dvars, video, taps)
-        o2 = jax.jit(fused.apply)(dvars, video, taps)
-        import numpy as np
-        diff = float(np.max(np.abs(np.asarray(o1, np.float32)
-                                   - np.asarray(o2, np.float32))))
-        scale = float(np.max(np.abs(np.asarray(o1, np.float32))))
-        print(json.dumps({"variant": "fused_vs_unfused_parity",
-                          "max_abs_diff": diff, "out_max": scale}),
-              flush=True)
-    except Exception as e:
-        print(json.dumps({"variant": "fused_vs_unfused_parity",
-                          "error": repr(e)[-300:]}), flush=True)
+    # one on THIS backend (same params; Mosaic lowering, not interpret).
+    # Two extra full-ladder compiles — skipped when a name filter is given
+    # (opt back in with the name `parity`)
+    if not want or "parity" in want:
+        try:
+            if dvars is None:
+                dvars = DiSTNetwork(cfg=cfg, d_model=768, output_dim=512,
+                                    dtype=dt).init(rng, video, taps)
+            base = DiSTNetwork(cfg=cfg, d_model=768, output_dim=512, dtype=dt)
+            fused = DiSTNetwork(cfg=cfg, d_model=768, output_dim=512,
+                                dtype=dt, fused_temporal=True)
+            # pass the big arrays as ARGS — closed-over they become HLO
+            # constants and the remote compile rejects the payload (HTTP 413)
+            o1 = jax.jit(base.apply)(dvars, video, taps)
+            o2 = jax.jit(fused.apply)(dvars, video, taps)
+            import numpy as np
+            diff = float(np.max(np.abs(np.asarray(o1, np.float32)
+                                       - np.asarray(o2, np.float32))))
+            scale = float(np.max(np.abs(np.asarray(o1, np.float32))))
+            print(json.dumps({"variant": "fused_vs_unfused_parity",
+                              "max_abs_diff": diff, "out_max": scale}),
+                  flush=True)
+        except Exception as e:
+            print(json.dumps({"variant": "fused_vs_unfused_parity",
+                              "error": repr(e)[-300:]}), flush=True)
 
-    stem = TemporalPatchStem(channels=96, t_patch=5, s_patch=16, dtype=dt)
-    svars = stem.init(rng, video)
-    sgfn = jax.grad(lambda v, vid: jnp.sum(
-        stem.apply(v, vid).astype(jnp.float32)))
+    if not want or "stem_fwd_bwd" in want:
+        stem = TemporalPatchStem(channels=96, t_patch=5, s_patch=16, dtype=dt)
+        svars = stem.init(rng, video)
+        sgfn = jax.grad(lambda v, vid: jnp.sum(
+            stem.apply(v, vid).astype(jnp.float32)))
 
-    @jax.jit
-    def stem_bwd_reps(v, vid):
-        def body(i, acc):
-            return acc * 0.0 + _tree_sum(
-                sgfn(v, vid + (acc * 0).astype(vid.dtype)))
-        return jax.lax.fori_loop(0, REPS, body, jnp.zeros((), jnp.float32))
+        @jax.jit
+        def stem_bwd_reps(v, vid):
+            def body(i, acc):
+                return acc * 0.0 + _tree_sum(
+                    sgfn(v, vid + (acc * 0).astype(vid.dtype)))
+            return jax.lax.fori_loop(0, REPS, body,
+                                     jnp.zeros((), jnp.float32))
 
-    _time_reps("stem_fwd_bwd", stem_bwd_reps, svars, video, outer=3)
+        _time_reps("stem_fwd_bwd", stem_bwd_reps, svars, video, outer=3)
 
 
 def cmd_bwd_parts(names):

@@ -108,7 +108,8 @@ def _preflight_strict(args, rows):
         if not ckpt:
             missing.append(
                 f"{config_path}: no checkpoint named {_stem(config_path)}"
-                f"[.pyth/.pt/.pth] under --ckpt-dir and no --ckpt override")
+                f"[.pyth/.pt/.pth] or an Orbax dir named {_stem(config_path)}"
+                " under --ckpt-dir, and no --ckpt override")
         elif not os.path.exists(ckpt):
             missing.append(f"{config_path}: checkpoint {ckpt} does not exist")
     return missing
