@@ -105,6 +105,29 @@ def test_wired_into_ladder_param_tree_and_parity():
             np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3), gp, gf)
 
 
+def test_flag_allowed_on_cpu_mesh():
+    """TPU.FUSED_TEMPORAL_NET is single-chip-only on TPU backends (the
+    kernel has no GSPMD rule), but on CPU the op falls back to shardable
+    jnp code — the multi-device CPU mesh used by tests/dryruns must keep
+    building and running with the flag on."""
+    import os
+    from dist_tpu.config import load_config
+    from dist_tpu.models.base.models import build_model
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(
+        os.path.join(repo, "configs/projects/dist/test/tiny_synth.yaml"),
+        opts=["TPU.FUSED_TEMPORAL_NET", "true"], make_output_dir=False)
+    model = build_model(cfg)  # would assert on a multi-chip TPU backend
+    video = jnp.zeros((1, 4, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), {"video": video})
+    tf = jnp.zeros((12, model.module.arch.embed_dim))
+    preds, _ = model.apply(variables,
+                           {"video": video, "text_features": tf},
+                           train=False)
+    assert preds.shape == (1, 12)
+
+
 def test_custom_vjp_cpu_path(setup):
     """On CPU the public op runs the jnp reference with jax.vjp — the whole
     custom_vjp plumbing must still produce module-identical grads."""
